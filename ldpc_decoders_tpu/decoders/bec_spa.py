@@ -1,0 +1,106 @@
+"""Batched ternary-message SPA for the binary erasure channel.
+
+Functional TPU re-design of the BEC-specific peeling BP in reference
+src/bec.py:70-122 (a distinct algorithm from the LLR-domain bpa.py; the
+reference aliases MSA = SPA for this channel, bec.py:125).
+
+Symbol conventions preserved:
+- channel symbols {0, 1, 2}: 2 means erasure (bec.py:15-18);
+- messages {-1, +1, 0}: bit 0, bit 1, unknown (bec.py:74-75);
+- termination: decoded (no erasures left), max_iter, or a *stopping set*
+  (hard decisions unchanged between iterations, bec.py:120).
+
+Check-node rule, exactly as the reference computes it (bec.py:98-112):
+- a check with zero unknown incoming messages echoes each variable's own
+  message (not extrinsic — harmless on a BEC where known messages are
+  always correct);
+- a check with exactly one unknown resolves that variable to the parity
+  of the other incoming bits and sends 0 to everyone else;
+- two or more unknowns: all outputs 0.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ldpc_decoders_tpu.ops.graph import TannerGraph
+
+ERASURE = 2
+# y symbol {0,1,2} -> message {-1,+1,0}
+_SYM_TO_MSG = jnp.array([-1.0, 1.0, 0.0])
+# sign of marginal {-1,0,+1} (+1 offset) -> symbol {0,2,1}
+_SIGN_TO_SYM = jnp.array([0, ERASURE, 1], dtype=jnp.int32)
+
+
+class _State(NamedTuple):
+    v2c: jnp.ndarray    # [B, E] messages in {-1, 0, +1}
+    x_hat: jnp.ndarray  # [B, V] symbols in {0, 1, 2}
+    done: jnp.ndarray   # [B] bool
+    iters: jnp.ndarray  # [B] int32
+    it: jnp.ndarray     # scalar int32
+
+
+class BECSPADecoder:
+    """Batched erasure-channel SPA. decode(y [B,V] in {0,1,2}) ->
+    (x_hat [B,V] in {0,1,2}, iters [B])."""
+
+    id_keys = ["max_iter"]
+
+    def __init__(self, graph: TannerGraph, max_iter: int = 10,
+                 iter_cap: int = 1000, **_):
+        self.graph = graph
+        self.max_iter = int(max_iter)
+        self.iter_cap = self.max_iter if self.max_iter > 0 else int(iter_cap)
+
+    def decode(self, y: jnp.ndarray, key=None) -> tuple:
+        graph = self.graph
+        B = y.shape[0]
+        priors = _SYM_TO_MSG[y]                      # [B, V]
+        v2c0 = graph.expand_var(priors)              # [B, E]
+
+        state = _State(
+            v2c=v2c0,
+            x_hat=y.astype(jnp.int32),
+            done=(y == ERASURE).sum(axis=-1) == 0,
+            iters=jnp.zeros(B, dtype=jnp.int32),
+            it=jnp.zeros((), dtype=jnp.int32),
+        )
+
+        def body(s: _State):
+            # Per-check layout. Pad fill -1: counts as a *known* message
+            # that is not positive, so it is neutral both for the unknown
+            # count and for the positive-parity count.
+            m = graph.gather_chk(s.v2c, fill=-1.0)   # [B, C, D]
+            unknowns = (m == 0.0).sum(axis=-1)       # [B, C]
+            ones = (m > 0.0).sum(axis=-1)            # [B, C]
+            parity_msg = (2.0 * (ones % 2) - 1.0)[..., None]  # [B, C, 1]
+
+            known = jnp.abs(m)  # 1 where known, 0 at the erased slot
+            c2v_slots = jnp.where(
+                unknowns[..., None] == 0, m,
+                jnp.where(unknowns[..., None] == 1,
+                          (1.0 - known) * parity_msg,
+                          0.0))
+            c2v = graph.scatter_chk(c2v_slots)
+
+            marginal = priors + graph.sum_per_var(c2v)           # [B, V]
+            v2c_new = jnp.sign(graph.expand_var(marginal) - c2v)  # [B, E]
+            x_new = _SIGN_TO_SYM[jnp.sign(marginal).astype(jnp.int32) + 1]
+
+            active = ~s.done
+            stopped = active & (x_new == s.x_hat).all(axis=-1)  # stopping set
+            x_hat = jnp.where(active[:, None], x_new, s.x_hat)
+            v2c = jnp.where(active[:, None], v2c_new, s.v2c)
+            iters = s.iters + active.astype(jnp.int32)
+            decoded = (x_hat == ERASURE).sum(axis=-1) == 0
+            done = s.done | decoded | stopped
+            return _State(v2c, x_hat, done, iters, s.it + 1)
+
+        def cond(s: _State):
+            return (s.it < self.iter_cap) & ~s.done.all()
+
+        final = lax.while_loop(cond, body, state)
+        return final.x_hat, final.iters
