@@ -1,0 +1,65 @@
+"""Headline benchmark: decoded codewords/sec, MSA it<=10, LDPC(1200,3,6),
+biAWGN 3 dB, full Monte-Carlo step (sample + LLR + decode + tally) on one
+chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers (BASELINE.md) — the
+north-star target is >=1e6 codewords/s on a v5e-8, i.e. 125k/s/chip;
+``vs_baseline`` is measured against that per-chip target.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+PER_CHIP_TARGET = 125_000.0  # 1e6 cw/s on 8 chips (BASELINE.json north star)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_code
+    from ldpc_decoders_tpu.channels import biawgn
+    from ldpc_decoders_tpu.decoders.bp import BPDecoder
+
+    code = _flagship_code()
+    dec = BPDecoder(code.graph, "MSA", max_iter=10)
+    batch = 8192
+    x = jnp.zeros((batch, code.get_n()), jnp.int32)
+
+    @jax.jit
+    def chunk(key, snr_db):
+        k1, k2 = jax.random.split(key)
+        y = biawgn.send(k1, x, snr_db)
+        x_hat, _ = dec.decode(biawgn.llr(y, snr_db), k2)
+        errs = (x_hat != x).sum(axis=-1)
+        return (errs > 0).sum(), errs.sum()
+
+    key = jax.random.PRNGKey(0)
+    snr = 3.0
+    # Warmup / compile.
+    w, b = chunk(key, snr)
+    w.block_until_ready()
+
+    reps = 20
+    t0 = time.perf_counter()
+    wec = 0
+    for i in range(reps):
+        key, sub = jax.random.split(key)
+        w, b = chunk(sub, snr)
+        wec += int(w)  # sync each step, like a real adaptive MC loop
+    dt = time.perf_counter() - t0
+    cw_per_s = reps * batch / dt
+
+    print(json.dumps({
+        "metric": "decoded_codewords_per_sec_1chip_msa10_ldpc1200_biawgn3db",
+        "value": round(cw_per_s, 1),
+        "unit": "codewords/s",
+        "vs_baseline": round(cw_per_s / PER_CHIP_TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

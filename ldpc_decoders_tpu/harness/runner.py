@@ -1,0 +1,217 @@
+"""Adaptive Monte-Carlo sweep runner.
+
+TPU re-design of the reference's experiment harness (src/main.py:10-51).
+The reference draws ONE codeword per loop iteration through un-compiled
+numpy; here each host-loop tick runs a jit-compiled *super-batch chunk*
+(sample -> transmit -> decode -> tally, all on device), and the reference's
+adaptive ``while wec < min_wec`` termination (main.py:37) becomes a host
+loop over chunks. The channel parameter is a traced scalar, so one
+compilation serves every sweep point.
+
+Multi-chip: pass a ``jax.sharding.Mesh`` with a ``batch`` axis; the chunk
+is then ``shard_map``-ed so each device simulates ``batch/ndev`` codewords
+and tallies combine with ``psum`` over ICI — replacing the reference's
+shell-level process fan-out + JSON-file merging (run_sims.sh:15-25,
+SURVEY.md 2.23).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from collections import OrderedDict
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ldpc_decoders_tpu.channels import CHANNELS
+from ldpc_decoders_tpu.codes import get_code
+from ldpc_decoders_tpu.harness.saver import Saver
+
+ITER_HIST_LEN = 2000  # reference admm.py:36
+
+
+@dataclasses.dataclass
+class RunConfig:
+    channel: str
+    code: str
+    decoder: str
+    params: Sequence[float] = (0.1, 0.01)
+    codeword: int = 0          # 0 / 1 / -1 = random codebook row
+    min_wec: int = 100
+    max_iter: int = 10
+    mu: float = 3.0
+    eps: float = 1e-5
+    allow_pseudo: bool = False
+    layers: Sequence[int] = (100, 100)
+    train: bool = False
+    apprx: int = -1
+    iter_cap: int = 2000
+    batch: int = 4096          # codewords per compiled chunk
+    seed: int = 0
+    log_freq: float = 5.0
+    max_words: Optional[int] = None   # safety cap per sweep point (new)
+    data_dir: Optional[str] = None
+    cache_dir: Optional[str] = None
+
+    def decoder_kwargs(self) -> dict:
+        return dict(max_iter=self.max_iter, mu=self.mu, eps=self.eps,
+                    allow_pseudo=self.allow_pseudo, layers=list(self.layers),
+                    train=self.train, apprx=self.apprx,
+                    iter_cap=self.iter_cap, cache_dir=self.cache_dir)
+
+
+class MonteCarloRunner:
+    """Runs one (channel, code, decoder) sweep to the target error count."""
+
+    def __init__(self, cfg: RunConfig, mesh: Optional[jax.sharding.Mesh] = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.mod = CHANNELS[cfg.channel]
+        self.code = get_code(cfg.code)
+        self.dec = self.mod.DECODERS[cfg.decoder](self.code,
+                                                  **cfg.decoder_kwargs())
+        self.host_only = getattr(self.dec, "host_only", False)
+        self.track_hist = getattr(getattr(self.dec, "dec", None),
+                                  "track_iter_hist", False)
+
+        # Run identity: same id-key convention as reference main.py:13.
+        id_keys = (["channel", "code", "decoder", "codeword", "min_wec"]
+                   + list(self.dec.id_keys or []))
+        cfg_vars = dataclasses.asdict(cfg)
+        self.id_vals = [cfg_vars[k] for k in id_keys]
+        self.id_keys = id_keys
+        self.log = logging.getLogger(".".join(str(v) for v in self.id_vals))
+        self.saver = (Saver(cfg.data_dir, list(zip(id_keys, self.id_vals)))
+                      if cfg.data_dir else None)
+
+        if mesh is not None:
+            if cfg.batch % mesh.devices.size:
+                raise ValueError("batch must divide evenly over the mesh")
+            self._chunk = self._build_sharded_chunk(mesh)
+        else:
+            self._chunk = jax.jit(self._chunk_body)
+
+    # ------------------------------------------------------------------
+    def _sample_x(self, key, batch: int) -> jnp.ndarray:
+        n = self.code.get_n()
+        if self.cfg.codeword == -1:
+            cb = jnp.asarray(self.code.cb, jnp.int32)
+            idx = jax.random.randint(key, (batch,), 0, cb.shape[0])
+            return cb[idx]
+        return jnp.full((batch, n), self.cfg.codeword, jnp.int32)
+
+    def _chunk_body(self, key, param, batch: Optional[int] = None):
+        """One super-batch: returns (wec, bec, iters[B])."""
+        batch = batch or self.cfg.batch
+        kx, kc, kd = jax.random.split(key, 3)
+        x = self._sample_x(kx, batch)
+        y = self.mod.send(kc, x, param)
+        x_hat, aux = self.dec.decode(y, param, kd)
+        errs = (x_hat != x.astype(x_hat.dtype)).sum(axis=-1)
+        iters = aux.get("iters", jnp.zeros(batch, jnp.int32))
+        return (errs > 0).sum(), errs.sum(), iters
+
+    def _build_sharded_chunk(self, mesh):
+        local = self.cfg.batch // mesh.devices.size
+
+        def per_device(key, param):
+            wec, bec, iters = self._chunk_body(key[0], param, batch=local)
+            return (jax.lax.psum(wec, "batch"), jax.lax.psum(bec, "batch"),
+                    iters)
+
+        # check_vma=False: decode loops carry constants (iteration counters)
+        # that jax's varying-axis checker would otherwise reject; every
+        # cross-device value we consume is explicitly psum-reduced.
+        sharded = jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P("batch"), P()),
+            out_specs=(P(), P(), P("batch")),
+            check_vma=False)
+        return jax.jit(sharded)
+
+    def _make_keys(self, key):
+        if self.mesh is None:
+            return key
+        return jax.random.split(key, self.mesh.devices.size)
+
+    # ------------------------------------------------------------------
+    def run_param(self, param: float, key) -> OrderedDict:
+        cfg = self.cfg
+        self._param = param
+        tot = wec = bec = 0
+        hist = np.zeros(ITER_HIST_LEN, dtype=np.int64)
+        t_start = t_log = time.time()
+
+        def status() -> OrderedDict:
+            wer = wec / tot if tot else 0.0
+            ber = bec / (tot * self.code.get_n()) if tot else 0.0
+            vals = OrderedDict([("tot", int(tot)), ("wec", int(wec)),
+                                ("wer", float(wer)), ("bec", int(bec)),
+                                ("ber", float(ber))])
+            if self.track_hist and hist.sum():
+                avg = float(hist @ np.arange(ITER_HIST_LEN) / hist.sum())
+                vals["dec"] = {"average": avg, "iter": hist.tolist()}
+            elapsed = time.time() - t_start
+            vals["words_per_sec"] = float(tot / elapsed) if elapsed > 0 else 0.0
+            return vals
+
+        def log_status():
+            v = status()
+            self.log.info(", ".join(
+                f"{k.upper()}:{v[k]}" for k in
+                ("tot", "wec", "wer", "bec", "ber", "words_per_sec")))
+            if self.saver:
+                self.saver.add(param, v)
+
+        if self.host_only:
+            decode_chunk = self._host_chunk
+        else:
+            def decode_chunk(k):
+                w, b, iters = self._chunk(self._make_keys(k), param)
+                return int(w), int(b), np.asarray(iters)
+
+        while wec < cfg.min_wec:
+            key, sub = jax.random.split(key)
+            w, b, iters = decode_chunk(sub)
+            wec += w
+            bec += b
+            tot += cfg.batch
+            if self.track_hist:
+                hist += np.bincount(np.clip(iters, 0, ITER_HIST_LEN - 1),
+                                    minlength=ITER_HIST_LEN)
+            if time.time() - t_log > cfg.log_freq:
+                t_log = time.time()
+                log_status()
+            if cfg.max_words and tot >= cfg.max_words:
+                self.log.warning("max_words cap hit at %d", tot)
+                break
+
+        log_status()
+        return status()
+
+    def _host_chunk(self, key):
+        """Host-side decoders (LP): sample on device, decode on host."""
+        param = self._param
+        kx, kc, kd = jax.random.split(key, 3)
+        x = np.asarray(self._sample_x(kx, self.cfg.batch))
+        y = self.mod.send(kc, jnp.asarray(x), param)
+        x_hat, _ = self.dec.decode(y, param, kd)
+        errs = (np.asarray(x_hat) != x.astype(np.asarray(x_hat).dtype)).sum(-1)
+        return int((errs > 0).sum()), int(errs.sum()), np.zeros(1, np.int32)
+
+    def run(self) -> dict:
+        """Full sweep (reference main.py:22-50). Returns {param: metrics}."""
+        key = jax.random.PRNGKey(self.cfg.seed)
+        results = {}
+        for param in self.cfg.params:
+            self.log.info("Starting parameter: %f", param)
+            self._param = param
+            key, sub = jax.random.split(key)
+            results[param] = self.run_param(param, sub)
+        self.log.info("Done!")
+        return results

@@ -1,0 +1,122 @@
+"""Harness tests: Saver JSON schema parity, adaptive Monte-Carlo runner on
+single device and on a sharded 8-device CPU mesh, and statistical
+agreement with the reference's golden curves (SURVEY.md section 4's
+"golden-JSON tolerance tests")."""
+
+import json
+import math
+import os
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from ldpc_decoders_tpu.harness import MonteCarloRunner, RunConfig, Saver
+
+REF_OUTPUT = "/root/reference/data/output"
+
+
+def test_saver_schema(tmp_path):
+    s = Saver(str(tmp_path), [("channel", "bec"), ("code", "7_4_hamming"),
+                              ("decoder", "SPA"), ("codeword", 1),
+                              ("min_wec", 100), ("max_iter", 10)])
+    s.add(0.1, {"tot": 100, "wec": 5, "wer": 0.05, "bec": 9, "ber": 0.01})
+    s.add(0.2, {"tot": 50, "wec": 9, "wer": 0.18, "bec": 11, "ber": 0.03})
+    s.add(0.1, {"tot": 200, "wec": 8, "wer": 0.04, "bec": 12, "ber": 0.008})
+
+    path = os.path.join(
+        str(tmp_path), "bec-7_4_hamming-SPA-1-100-10.json")
+    assert s.file_path == path and os.path.exists(path)
+    d = json.load(open(path))
+    # Same layout as the reference's files: run ids then per-metric dicts
+    # keyed by str(param) (utils.py:128-136).
+    assert d["channel"] == "bec" and d["max_iter"] == 10
+    assert d["tot"] == {"0.1": 200, "0.2": 50}   # later add overwrote 0.1
+    assert set(d) >= {"tot", "wec", "wer", "bec", "ber"}
+
+
+def _run(cfg, mesh=None):
+    return MonteCarloRunner(cfg, mesh=mesh).run()
+
+
+def test_runner_bec_spa_end_to_end(tmp_path):
+    cfg = RunConfig(channel="bec", code="7_4_hamming", decoder="SPA",
+                    params=[0.3], codeword=1, min_wec=50, batch=512,
+                    data_dir=str(tmp_path), log_freq=1e9)
+    res = _run(cfg)[0.3]
+    assert res["wec"] >= 50 and res["tot"] >= 512
+    # Golden: wer ~= 0.199 at eps=0.3 (bec-7_4_hamming-SPA-10-1.json);
+    # with ~50 errors sigma ~ 15%, accept 4 sigma.
+    assert abs(res["wer"] - 0.199) / 0.199 < 0.6, res
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".json")]
+    assert files, "saver wrote nothing"
+
+
+def test_runner_random_codeword_ml():
+    cfg = RunConfig(channel="biawgn", code="7_4_hamming", decoder="ML",
+                    params=[4.0], codeword=-1, min_wec=30, batch=1024,
+                    log_freq=1e9)
+    res = _run(cfg)[4.0]
+    # Golden biawgn-7_4_hamming-ML: wer 1.89e-2 at 4 dB (BASELINE.md);
+    # independent float64 oracle puts truth nearer 2.09e-2 — accept wide.
+    assert 0.008 < res["wer"] < 0.045, res
+
+
+def test_runner_sharded_mesh_matches_stats():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest should provide 8 CPU devices"
+    mesh = Mesh(np.array(devs[:8]), ("batch",))
+    cfg = RunConfig(channel="bsc", code="7_4_hamming", decoder="MSA",
+                    params=[0.05], codeword=1, min_wec=40, batch=1024,
+                    log_freq=1e9)
+    res = _run(cfg, mesh=mesh)[0.05]
+    assert res["wec"] >= 40
+    single = _run(cfg)[0.05]
+    # Same distribution on mesh and single device: WERs within combined MC
+    # error (not bit-identical: different key layout).
+    se = math.sqrt(res["wer"] / res["tot"] + single["wer"] / single["tot"])
+    assert abs(res["wer"] - single["wer"]) < 6 * se + 1e-9
+
+
+def test_runner_admm_collects_iteration_histogram(tmp_path):
+    cfg = RunConfig(channel="bsc", code="7_4_hamming", decoder="ADMM",
+                    params=[0.02], codeword=1, min_wec=5, batch=256,
+                    max_iter=50, data_dir=str(tmp_path), log_freq=1e9)
+    res = _run(cfg)[0.02]
+    assert "dec" in res, "ADMM iteration stats missing"
+    hist = np.array(res["dec"]["iter"])
+    assert hist.sum() == res["tot"]
+    assert res["dec"]["average"] > 0
+
+
+def test_runner_lp_host_path():
+    cfg = RunConfig(channel="bsc", code="4_2_test", decoder="LP",
+                    params=[0.05], codeword=0, min_wec=3, batch=64,
+                    log_freq=1e9)
+    res = _run(cfg)[0.05]
+    assert res["wec"] >= 3
+
+
+@pytest.mark.parametrize("golden,param,channel,decoder,cw", [
+    ("bec-7_4_hamming-SPA-10-1.json", "0.1", "bec", "SPA", 1),
+    ("bsc-7_4_hamming-SPA-10-1.json", "0.06", "bsc", "SPA", 1),
+    ("biawgn-7_4_hamming-SPA-10-1.json", "5.0", "biawgn", "SPA", 1),
+])
+def test_golden_curve_agreement(golden, param, channel, decoder, cw):
+    """Statistical regression against the reference's committed results
+    (data/output/, SURVEY.md section 6): reproduce WER within combined
+    Monte-Carlo confidence (goldens stop at ~300 errors -> sigma ~6%)."""
+    path = os.path.join(REF_OUTPUT, golden)
+    if not os.path.exists(path):
+        pytest.skip("reference golden data not available")
+    g = json.load(open(path))
+    wer_ref = g["wer"][param]
+    wec_ref = g["wec"][param]
+
+    cfg = RunConfig(channel=channel, code="7_4_hamming", decoder=decoder,
+                    params=[float(param)], codeword=cw, min_wec=150,
+                    batch=4096, log_freq=1e9, max_words=3_000_000)
+    res = _run(cfg)[float(param)]
+    sigma = wer_ref * math.sqrt(1.0 / wec_ref + 1.0 / max(res["wec"], 1))
+    assert abs(res["wer"] - wer_ref) < 5 * sigma, (res["wer"], wer_ref, sigma)
