@@ -1,0 +1,156 @@
+"""Experiment campaigns: the reference's shell-level orchestration
+(run_sims.sh + simulations.py + plot_results.py, SURVEY.md 2.23) as a
+native case registry.
+
+The reference prints `main.py` argv lines and `eval`s them with `&` for
+parallelism across processes/Slurm jobs. On TPU the parallelism lives
+*inside* each run (batched codewords sharded over the mesh), so a
+campaign is simply an ordered list of RunConfigs executed in-process.
+``--emit`` prints the equivalent CLI lines instead of running, preserving
+the reference's print-then-eval contract for external schedulers.
+
+Case registry mirrors reference simulations.py: HMG, MAR, REG_BAD,
+REG_ENS, IREG_ENS; plot cases mirror plot_results.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Iterator, List
+
+from ldpc_decoders_tpu.harness import MonteCarloRunner, RunConfig
+from ldpc_decoders_tpu.utils.registry import Registry
+
+all_cases = Registry()
+reg_case = all_cases.reg
+
+
+def stp(init: float, step: float, count: int) -> List[float]:
+    return [init + i * step for i in range(count)]
+
+
+# Default per-code sweeps (reference simulations.py:27-39).
+_BEC_DEF = [.5, .475, .45, .425, .4, .375, .35, .34, .33, .325, .32, .31, .3]
+_BSC_MSA = [.081, .0751, .071, .0651, .061, .0551, .051, .0451, .041,
+            .0351, .031, .0251, .021, .0151, .01]
+_AWGN_MSA = [.5, .75, 1., 1.25, 1.5, 1.75, 2., 2.2, 2.3, 2.4, 2.5, 2.6,
+             2.7, 2.8, 2.9, 3.0]
+_AWGN_SPA = [.5, .75, 1., 1.25, 1.5, 1.75, 2., 2.25, 2.5, 2.75, 3.]
+
+
+def def_cases(code: str, mi: int = 10, mw: int = 100) -> Iterator[RunConfig]:
+    yield RunConfig("bec", code, "SPA", _BEC_DEF, codeword=0, max_iter=mi,
+                    min_wec=mw)
+    yield RunConfig("bsc", code, "MSA", _BSC_MSA, codeword=1, max_iter=mi,
+                    min_wec=mw)
+    yield RunConfig("biawgn", code, "MSA", _AWGN_MSA, codeword=1,
+                    max_iter=mi, min_wec=mw)
+    yield RunConfig("bsc", code, "SPA", stp(.1, -.01, 7), codeword=0,
+                    max_iter=mi, min_wec=mw)
+    yield RunConfig("biawgn", code, "SPA", _AWGN_SPA, codeword=0,
+                    max_iter=mi, min_wec=mw)
+
+
+@reg_case
+def HMG() -> Iterator[RunConfig]:
+    """All Hamming(7,4) sims (reference simulations.py:49-61)."""
+    p_bec = [.5, .4, .3, .2, .1, .08, .06, .04, .02]
+    p_bsc = p_bec + [.25, .15, .01, .008, .006, .004, .002]
+    p_awgn = stp(2, .5, 11)
+    code = "7_4_hamming"
+    kw = dict(codeword=1, min_wec=300)
+    for dec in ["ML", "LP", "SPA", "ADMM"]:
+        yield RunConfig("bec", code, dec, p_bec, **kw)
+    for dec in ["ML", "LP", "SPA", "MSA", "ADMM"]:
+        yield RunConfig("bsc", code, dec, p_bsc, **kw)
+    for dec in ["ML", "LP", "SPA", "MSA", "ADMM"]:
+        yield RunConfig("biawgn", code, dec, p_awgn, **kw)
+
+
+@reg_case
+def MAR() -> Iterator[RunConfig]:
+    """Margulis(2640,1320) ADMM sims (reference simulations.py:63-72)."""
+    code = "margulis"
+    kw = dict(codeword=1, min_wec=100)
+    yield RunConfig("bec", code, "ADMM", _BEC_DEF, **kw)
+    yield RunConfig("bsc", code, "ADMM", [.1, .09, .08, .07, .06, .05, .04],
+                    **kw)
+    yield RunConfig("biawgn", code, "ADMM", _AWGN_SPA, **kw)
+    yield from def_cases(code)
+
+
+@reg_case
+def REG_BAD() -> Iterator[RunConfig]:
+    """Max-iter sweep on LDPC(1200,3,6) (reference simulations.py:74-77)."""
+    yield from def_cases("1200_3_6_ldpc")
+    for mi in [0, 1, 2, 3, 6, 40, 100]:
+        yield from def_cases("1200_3_6_ldpc", mi)
+
+
+@reg_case
+def REG_ENS() -> Iterator[RunConfig]:
+    for i in range(10):
+        yield from def_cases(f"1200_3_6_rand_ldpc_{i + 1}")
+
+
+@reg_case
+def IREG_ENS() -> Iterator[RunConfig]:
+    for i in range(10):
+        yield from def_cases(f"1200_rho_x5_rand_ldpc_{i + 1}")
+
+
+# ----------------------------------------------------------------------
+# Execution
+# ----------------------------------------------------------------------
+
+def to_argv(cfg: RunConfig) -> str:
+    """Equivalent `python -m ldpc_decoders_tpu.main` line (the reference's
+    simulations.py print contract, for external schedulers)."""
+    parts = [cfg.channel, cfg.code, cfg.decoder,
+             "--codeword=%d" % cfg.codeword,
+             "--max-iter=%d" % cfg.max_iter,
+             "--min-wec=%d" % cfg.min_wec,
+             "--params " + " ".join("%g" % p for p in cfg.params)]
+    return " ".join(parts)
+
+
+def run_campaign(case_names, data_dir=None, mesh=None, overrides=None):
+    results = {}
+    for name in case_names:
+        for cfg in all_cases.get(name)():
+            if data_dir:
+                cfg = dataclasses.replace(cfg, data_dir=data_dir)
+            if overrides:
+                cfg = dataclasses.replace(cfg, **overrides)
+            results[(name, to_argv(cfg))] = MonteCarloRunner(
+                cfg, mesh=mesh).run()
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="run experiment campaigns")
+    p.add_argument("case", nargs="+", choices=all_cases.keys())
+    p.add_argument("--emit", action="store_true",
+                   help="print CLI lines instead of running")
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--min-wec", dest="min_wec", type=int, default=None)
+    args = p.parse_args(argv)
+
+    if args.emit:
+        for name in args.case:
+            for cfg in all_cases.get(name)():
+                print(to_argv(cfg), flush=True)
+        return
+
+    overrides = {}
+    if args.batch:
+        overrides["batch"] = args.batch
+    if args.min_wec:
+        overrides["min_wec"] = args.min_wec
+    run_campaign(args.case, data_dir=args.data_dir, overrides=overrides)
+
+
+if __name__ == "__main__":
+    main()
