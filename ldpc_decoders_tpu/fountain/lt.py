@@ -166,6 +166,8 @@ class LTSimulator:
             it=jnp.zeros((), jnp.int32),
         )
 
+        sym_idx = jnp.arange(n, dtype=jnp.int32)
+
         def body(s: _State):
             in_prefix = valid & (edge_sym < s.m[:, None])
             var_resolved = take_b(s.resolved, edge_var)
@@ -174,8 +176,11 @@ class LTSimulator:
             # Success first: a fixpoint with no active edges decodes at m.
             success = ~edge_active.any(-1)
 
-            deg = seg_n(edge_active.astype(jnp.int32), edge_sym)[:, :n]
-            ripple = deg == 1                                     # [B, n]
+            # Degrees over ALL symbols (prefix and future): the prefix part
+            # drives the ripple; the future part drives the stuck-jump.
+            deg_all = seg_n((valid & ~var_resolved).astype(jnp.int32),
+                            edge_sym)[:, :n]
+            ripple = (deg_all == 1) & (sym_idx < s.m[:, None])    # [B, n]
             has_ripple = ripple.any(-1)
 
             # Resolve: each active edge whose symbol is in the ripple
@@ -194,12 +199,20 @@ class LTSimulator:
                 jnp.int32), edge_sym)[:, :n]
             rcv = (s.rcv + contrib) % 2
 
-            # No ripple and not successful: activate the next symbol, or
-            # fail with result = n once the whole stream is used
-            # (reference luby.py:52-70 returns n on failure).
+            # No ripple and not successful: jump the prefix forward. A
+            # stuck fixpoint cannot be cured by symbols of unresolved
+            # degree != 1 (they only ADD active edges), so the minimal
+            # successful prefix extends exactly to the first future symbol
+            # with current degree 1 — activating the ones in between one
+            # at a time (reference luby.py:52-70) provably yields the same
+            # num_sym; the jump removes O(n-k) loop iterations. No such
+            # symbol: failure with result = n (like the reference).
             grow = ~s.done & ~success & ~has_ripple
-            m = jnp.where(grow & (s.m < n), s.m + 1, s.m)
-            fail = grow & (s.m >= n)
+            nxt = jnp.min(jnp.where((deg_all == 1)
+                                    & (sym_idx >= s.m[:, None]),
+                                    sym_idx, n), axis=-1)         # [B]
+            m = jnp.where(grow & (nxt < n), nxt + 1, s.m)
+            fail = grow & (nxt >= n)
 
             act = ~s.done
             act2 = act[:, None]

@@ -57,6 +57,7 @@ class RunConfig:
     max_words: Optional[int] = None   # safety cap per sweep point (new)
     data_dir: Optional[str] = None
     cache_dir: Optional[str] = None
+    profile: bool = False             # LoopProfiler per-section timings
 
     def decoder_kwargs(self) -> dict:
         return dict(max_iter=self.max_iter, mu=self.mu, eps=self.eps,
@@ -175,18 +176,25 @@ class MonteCarloRunner:
                 w, b, iters = self._chunk(self._make_keys(k), param)
                 return int(w), int(b), np.asarray(iters)
 
+        from ldpc_decoders_tpu.utils.profiler import LoopProfiler
+        prof = LoopProfiler(self.log, dump_freq=20 if cfg.profile else 0)
         while wec < cfg.min_wec:
-            key, sub = jax.random.split(key)
-            w, b, iters = decode_chunk(sub)
-            wec += w
-            bec += b
-            tot += cfg.batch
-            if self.track_hist:
-                hist += np.bincount(np.clip(iters, 0, ITER_HIST_LEN - 1),
-                                    minlength=ITER_HIST_LEN)
-            if time.time() - t_log > cfg.log_freq:
-                t_log = time.time()
-                log_status()
+            with prof.start():
+                key, sub = jax.random.split(key)
+                with prof.tag("chunk"):
+                    w, b, iters = decode_chunk(sub)
+                wec += w
+                bec += b
+                tot += cfg.batch
+                if self.track_hist:
+                    with prof.tag("hist"):
+                        hist += np.bincount(
+                            np.clip(iters, 0, ITER_HIST_LEN - 1),
+                            minlength=ITER_HIST_LEN)
+                if time.time() - t_log > cfg.log_freq:
+                    t_log = time.time()
+                    with prof.tag("log"):
+                        log_status()
             if cfg.max_words and tot >= cfg.max_words:
                 self.log.warning("max_words cap hit at %d", tot)
                 break

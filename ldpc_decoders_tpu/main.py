@@ -102,10 +102,8 @@ def main(argv=None) -> None:
 
     mesh = None
     if args.mesh:
-        import jax
-        from jax.sharding import Mesh
-        import numpy as np
-        mesh = Mesh(np.array(jax.devices()[:args.mesh]), ("batch",))
+        from ldpc_decoders_tpu.parallel import batch_mesh
+        mesh = batch_mesh(args.mesh)
 
     print(vars(args))
     MonteCarloRunner(cfg, mesh=mesh).run()

@@ -57,6 +57,12 @@ class TannerGraph:
     # Flat inverse indices: edge -> position in the chk/var gather layout.
     edge_in_chk: jnp.ndarray  # [E] int32 into flattened [C*Dc]
     edge_in_var: jnp.ndarray  # [E] int32 into flattened [V*Dv]
+    # Direct slot-to-slot permutations between the two padded layouts
+    # (composition of scatter+gather, precomputed so one gather converts
+    # layouts — the BP hot path needs only two of these per iteration).
+    # Sentinel: index C*Dc (resp. V*Dv) selects the appended fill slot.
+    var_slot_from_chk: jnp.ndarray  # [V*Dv] int32 into flat [C*Dc]+fill
+    chk_slot_from_var: jnp.ndarray  # [C*Dc] int32 into flat [V*Dv]+fill
     # Distinct check degrees (python ints, static) for degree-bucketed ops.
     chk_degrees: tuple
 
@@ -89,6 +95,22 @@ class TannerGraph:
         chk_deg, dc, chk_edge, chk_mask, edge_in_chk = build_side(rows, n_chk)
         var_deg, dv, var_edge, var_mask, edge_in_var = build_side(cols, n_var)
 
+        # Layout-to-layout permutations: invert one side's edge->slot map,
+        # compose with the other's. Pad slots point at the sentinel.
+        def compose(inv_a: np.ndarray, slots_a: int, edge_in_b: np.ndarray,
+                    sentinel_b: int) -> np.ndarray:
+            slot_to_edge = np.full(slots_a, E, dtype=np.int64)
+            slot_to_edge[inv_a] = np.arange(E)
+            out = np.full(slots_a, sentinel_b, dtype=np.int32)
+            real = slot_to_edge < E
+            out[real] = edge_in_b[slot_to_edge[real]]
+            return out
+
+        var_slot_from_chk = compose(edge_in_var, n_var * dv, edge_in_chk,
+                                    n_chk * dc)
+        chk_slot_from_var = compose(edge_in_chk, n_chk * dc, edge_in_var,
+                                    n_var * dv)
+
         return TannerGraph(
             n_chk=n_chk,
             n_var=n_var,
@@ -105,6 +127,8 @@ class TannerGraph:
             max_var_deg=dv,
             edge_in_chk=jnp.asarray(edge_in_chk),
             edge_in_var=jnp.asarray(edge_in_var),
+            var_slot_from_chk=jnp.asarray(var_slot_from_chk),
+            chk_slot_from_var=jnp.asarray(chk_slot_from_var),
             chk_degrees=tuple(sorted(set(int(d) for d in chk_deg))),
         )
 
@@ -136,6 +160,30 @@ class TannerGraph:
         """[..., V, Dv] -> [..., E] (inverse of gather_var)."""
         flat = vals.reshape(vals.shape[:-2] + (self.n_var * self.max_var_deg,))
         return jnp.take(flat, self.edge_in_var, axis=-1)
+
+    # ------------------------------------------------------------------
+    # Direct layout-to-layout conversion (single gather each way).
+    # The BP hot loop keeps messages in the [C, Dc] check layout and pays
+    # exactly two of these permutations per iteration, instead of four
+    # edge-vector gathers (scatter_chk + gather_var + expand_var + ...).
+    # ------------------------------------------------------------------
+    def chk_to_var(self, chk_vals: jnp.ndarray, fill) -> jnp.ndarray:
+        """[..., C, Dc] -> [..., V, Dv]; var pad slots get `fill`."""
+        lead = chk_vals.shape[:-2]
+        flat = chk_vals.reshape(lead + (self.n_chk * self.max_chk_deg,))
+        pad = jnp.full(lead + (1,), fill, dtype=chk_vals.dtype)
+        flat = jnp.concatenate([flat, pad], axis=-1)
+        out = jnp.take(flat, self.var_slot_from_chk, axis=-1)
+        return out.reshape(lead + (self.n_var, self.max_var_deg))
+
+    def var_to_chk(self, var_vals: jnp.ndarray, fill) -> jnp.ndarray:
+        """[..., V, Dv] -> [..., C, Dc]; chk pad slots get `fill`."""
+        lead = var_vals.shape[:-2]
+        flat = var_vals.reshape(lead + (self.n_var * self.max_var_deg,))
+        pad = jnp.full(lead + (1,), fill, dtype=var_vals.dtype)
+        flat = jnp.concatenate([flat, pad], axis=-1)
+        out = jnp.take(flat, self.chk_slot_from_var, axis=-1)
+        return out.reshape(lead + (self.n_chk, self.max_chk_deg))
 
     # ------------------------------------------------------------------
     # Common reductions

@@ -110,3 +110,28 @@ def test_campaign_runs_tiny(tmp_path):
     (key, r), = res.items()
     assert r[0.3]["wec"] >= 5
     assert os.listdir(str(tmp_path))
+
+
+def test_plot_cases_registry(tmp_path):
+    """Batch plot cases render against the golden reference data."""
+    if not os.path.isdir(REF_OUTPUT):
+        pytest.skip("no reference data")
+    from ldpc_decoders_tpu.viz import cases
+    cases.main(["HMG", "--data_dir", REF_OUTPUT,
+                "--plots_dir", str(tmp_path)])
+    made = os.listdir(str(tmp_path))
+    assert {"HMG__BEC.png", "HMG__BSC.png", "HMG__BIAWGN.png"} <= set(made)
+
+
+def test_profiler_accumulates(caplog):
+    import logging
+    import time as _t
+    from ldpc_decoders_tpu.utils.profiler import LoopProfiler
+    log = logging.getLogger("proftest")
+    with caplog.at_level(logging.INFO, logger="proftest"):
+        prof = LoopProfiler(log, dump_freq=2)
+        for _ in range(2):
+            with prof.start():
+                with prof.tag("work"):
+                    _t.sleep(0.001)
+    assert any("Summary at[2]" in r.message for r in caplog.records)
