@@ -76,6 +76,13 @@ def setup_parser() -> argparse.ArgumentParser:
                              "(0 = single device)")
     parser.add_argument("--max-words", type=int, default=None,
                         help="safety cap on words per sweep point")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 BP messages (faster; statistically "
+                             "equivalent curves)")
+    parser.add_argument("--pipeline", type=int, default=2,
+                        help="chunks in flight ahead of the host sync")
+    parser.add_argument("--profile", action="store_true",
+                        help="log per-section LoopProfiler timings")
     return bind_parser_common(parser)
 
 
@@ -98,7 +105,9 @@ def main(argv=None) -> None:
         allow_pseudo=args.allow_pseudo, layers=args.layers, train=args.train,
         apprx=args.apprx, batch=args.batch, seed=args.seed,
         log_freq=args.log_freq, max_words=args.max_words,
-        data_dir=args.data_dir, cache_dir=args.cache_dir)
+        data_dir=args.data_dir, cache_dir=args.cache_dir,
+        msg_dtype="bfloat16" if args.bf16 else "float32",
+        pipeline=args.pipeline, profile=args.profile)
 
     mesh = None
     if args.mesh:
