@@ -67,13 +67,23 @@ def robust_soliton(k: int, c: float, delta: float) -> np.ndarray:
 
 def sample_edges(rng: np.random.Generator, omega: np.ndarray, k: int, n: int,
                  e_pad: int):
-    """One sim's edge table: (edge_sym [E_pad], edge_var [E_pad], n_edges).
+    """One sim's edge tables, in the segment-friendly sorted form.
 
     Column j gets weight w_j ~ omega and a uniformly random w_j-subset of
     the k message bits (reference luby.py:11-26 builds this by shuffling
     dense exact-weight columns; sampling supports directly is equivalent
-    and O(sum w) instead of O(k*n)). Padding uses symbol index n, which
-    never activates (the prefix is always <= n symbols).
+    and O(sum w) instead of O(k*n)).
+
+    Returns a dict of per-sim arrays:
+    - edge_sym [E_pad] int32, NON-DECREASING (edges emitted column by
+      column); pads use symbol n;
+    - edge_var [E_pad] int32 (pads use variable k);
+    - indptr_sym [n+2] int32: edge range of each symbol (pads in seg n);
+    - perm_var [E_pad] int32: permutation putting edges in variable order;
+    - indptr_var [k+2] int32: range of each variable in that order.
+    The sorted form lets every segmented reduction on device be a
+    cumsum + two indptr gathers instead of a scatter-add, which is the
+    difference between VPU-speed and watchdog-killing on TPU.
     """
     weights = rng.choice(np.arange(1, k + 1), size=n, p=omega)
     total = int(weights.sum())
@@ -87,10 +97,18 @@ def sample_edges(rng: np.random.Generator, omega: np.ndarray, k: int, n: int,
         var[pos:pos + w] = rng.choice(k, size=w, replace=False)
         pos += w
     edge_sym = np.full(e_pad, n, dtype=np.int32)
-    edge_var = np.zeros(e_pad, dtype=np.int32)
+    edge_var = np.full(e_pad, k, dtype=np.int32)
     edge_sym[:total] = sym
     edge_var[:total] = var
-    return edge_sym, edge_var, total
+
+    indptr_sym = np.zeros(n + 2, dtype=np.int32)
+    np.cumsum(np.bincount(edge_sym, minlength=n + 1), out=indptr_sym[1:])
+    perm_var = np.argsort(edge_var, kind="stable").astype(np.int32)
+    indptr_var = np.zeros(k + 2, dtype=np.int32)
+    np.cumsum(np.bincount(edge_var, minlength=k + 1), out=indptr_var[1:])
+    return dict(edge_sym=edge_sym, edge_var=edge_var,
+                indptr_sym=indptr_sym, perm_var=perm_var,
+                indptr_var=indptr_var)
 
 
 def default_e_pad(omega: np.ndarray, n: int) -> int:
@@ -114,49 +132,71 @@ class _State(NamedTuple):
     it: jnp.ndarray        # scalar int32
 
 
+def _take_pad(arr: jnp.ndarray, idx: jnp.ndarray, fill) -> jnp.ndarray:
+    """Batched gather where index == arr.shape[-1] selects `fill`."""
+    pad = jnp.full(arr.shape[:-1] + (1,), fill, arr.dtype)
+    return jnp.take_along_axis(jnp.concatenate([arr, pad], -1), idx, axis=-1)
+
+
 @dataclasses.dataclass
 class LTSimulator:
     """Batched LT simulation: minimal number of received symbols for a
-    successful peeling decode, per sim."""
+    successful peeling decode, per sim.
+
+    The device decode runs in bounded segments (``seg_iters`` loop
+    iterations per jit call, host checks completion between calls) so no
+    single XLA execution runs unboundedly long — at k=10000 a monolithic
+    while_loop triggered the TPU execution watchdog."""
 
     k: int
     n: int
     c: float
     delta: float
     e_pad: Optional[int] = None
+    seg_iters: int = 256
 
     def __post_init__(self):
         self.omega = robust_soliton(self.k, self.c, self.delta)
         if self.e_pad is None:
             self.e_pad = default_e_pad(self.omega, self.n)
-        self._sim = jax.jit(self._simulate)
+        self._init = jax.jit(self._init_state)
+        self._seg = jax.jit(self._segment)
 
     # -- host sampling --------------------------------------------------
     def sample_batch(self, rng: np.random.Generator, batch: int):
         tables = [sample_edges(rng, self.omega, self.k, self.n, self.e_pad)
                   for _ in range(batch)]
-        edge_sym = np.stack([t[0] for t in tables])
-        edge_var = np.stack([t[1] for t in tables])
-        msg = rng.integers(0, 2, size=(batch, self.k)).astype(np.int32)
-        return jnp.asarray(edge_sym), jnp.asarray(edge_var), jnp.asarray(msg)
+        batched = {key: jnp.asarray(np.stack([t[key] for t in tables]))
+                   for key in tables[0]}
+        batched["msg"] = jnp.asarray(
+            rng.integers(0, 2, size=(batch, self.k)).astype(np.int32))
+        return batched
 
-    # -- device decode ----------------------------------------------------
-    def _simulate(self, edge_sym, edge_var, msg):
+    # -- segmented reductions (sorted edges: cumsum + indptr gathers) ----
+    def _seg_sum_sym(self, tables, data: jnp.ndarray) -> jnp.ndarray:
+        """[B, E] -> [B, n] per-symbol sums (pads land in segment n)."""
+        c = jnp.cumsum(data.astype(jnp.int32), axis=-1)
+        c = jnp.concatenate([jnp.zeros_like(c[:, :1]), c], -1)   # [B, E+1]
+        ip = tables["indptr_sym"]
+        return (jnp.take_along_axis(c, ip[:, 1:], -1)
+                - jnp.take_along_axis(c, ip[:, :-1], -1))[:, :self.n]
+
+    def _seg_sum_var(self, tables, data_sym_order: jnp.ndarray) -> jnp.ndarray:
+        """[B, E] (symbol order) -> [B, k] per-variable sums."""
+        d = jnp.take_along_axis(data_sym_order, tables["perm_var"], -1)
+        c = jnp.cumsum(d.astype(jnp.int32), axis=-1)
+        c = jnp.concatenate([jnp.zeros_like(c[:, :1]), c], -1)
+        ip = tables["indptr_var"]
+        return (jnp.take_along_axis(c, ip[:, 1:], -1)
+                - jnp.take_along_axis(c, ip[:, :-1], -1))[:, :self.k]
+
+    # -- device decode ---------------------------------------------------
+    def _init_state(self, tables) -> _State:
         k, n = self.k, self.n
-        B = msg.shape[0]
-        valid = edge_sym < n  # [B, E] pad slots use symbol n
-
-        seg_n = jax.vmap(
-            lambda data, seg: jax.ops.segment_sum(data, seg, num_segments=n + 1))
-        seg_k_max = jax.vmap(
-            lambda data, seg: jax.ops.segment_max(data, seg, num_segments=k))
-
-        take_b = jax.vmap(jnp.take)  # per-sim gather
-
-        snt = (seg_n(msg_bits := take_b(msg, edge_var), edge_sym)
-               [:, :n] % 2).astype(jnp.int32)
-
-        state = _State(
+        B = tables["msg"].shape[0]
+        bits_e = _take_pad(tables["msg"], tables["edge_var"], 0)
+        snt = (self._seg_sum_sym(tables, bits_e) % 2).astype(jnp.int32)
+        return _State(
             resolved=jnp.zeros((B, k), bool),
             est=jnp.zeros((B, k), jnp.int32),
             rcv=snt,
@@ -166,37 +206,44 @@ class LTSimulator:
             it=jnp.zeros((), jnp.int32),
         )
 
+    def _segment(self, tables, s0: _State) -> _State:
+        k, n = self.k, self.n
+        edge_sym, edge_var = tables["edge_sym"], tables["edge_var"]
+        valid = edge_sym < n
         sym_idx = jnp.arange(n, dtype=jnp.int32)
 
         def body(s: _State):
-            in_prefix = valid & (edge_sym < s.m[:, None])
-            var_resolved = take_b(s.resolved, edge_var)
-            edge_active = in_prefix & ~var_resolved               # [B, E]
+            unresolved_e = valid & (_take_pad(
+                s.resolved, edge_var, True) == 0)                 # [B, E]
+            edge_active = unresolved_e & (edge_sym < s.m[:, None])
 
             # Success first: a fixpoint with no active edges decodes at m.
             success = ~edge_active.any(-1)
 
-            # Degrees over ALL symbols (prefix and future): the prefix part
-            # drives the ripple; the future part drives the stuck-jump.
-            deg_all = seg_n((valid & ~var_resolved).astype(jnp.int32),
-                            edge_sym)[:, :n]
-            ripple = (deg_all == 1) & (sym_idx < s.m[:, None])    # [B, n]
+            # Degrees over ALL symbols (prefix and future): the prefix
+            # part drives the ripple; the future part the stuck-jump.
+            deg_all = self._seg_sum_sym(tables, unresolved_e)     # [B, n]
+            ripple = (deg_all == 1) & (sym_idx < s.m[:, None])
             has_ripple = ripple.any(-1)
 
             # Resolve: each active edge whose symbol is in the ripple
-            # carries that symbol's residual value to its variable.
-            resolve_edge = edge_active & take_b(ripple, edge_sym)
-            carried = jnp.where(resolve_edge, take_b(s.rcv, edge_sym), -1)
-            newval = seg_k_max(carried, edge_var)                 # [B, k]
-            newly = newval >= 0
-            est = jnp.where(newly, newval, s.est)
+            # carries that symbol's residual value to its variable. All
+            # carriers of one variable carry the same (true) bit, so
+            # count/sum replaces the reference's per-column scatter.
+            resolve_edge = edge_active & _take_pad(ripple, edge_sym, False)
+            val_e = jnp.where(resolve_edge,
+                              _take_pad(s.rcv, edge_sym, 0), 0)
+            cnt = self._seg_sum_var(tables, resolve_edge)         # [B, k]
+            val = self._seg_sum_var(tables, val_e)
+            newly = (cnt > 0) & ~s.resolved
+            est = jnp.where(newly, (val > 0).astype(jnp.int32), s.est)
             resolved = s.resolved | newly
 
             # XOR each newly-resolved bit into EVERY symbol containing it
-            # (also symbols beyond the prefix: they arrive pre-reduced).
-            xor_edge = valid & take_b(newly, edge_var)
-            contrib = seg_n((xor_edge * take_b(est, edge_var)).astype(
-                jnp.int32), edge_sym)[:, :n]
+            # (also beyond the prefix: later symbols arrive pre-reduced).
+            xor_edge = valid & _take_pad(newly, edge_var, False)
+            contrib = self._seg_sum_sym(
+                tables, xor_edge * _take_pad(est, edge_var, 0))
             rcv = (s.rcv + contrib) % 2
 
             # No ripple and not successful: jump the prefix forward. A
@@ -227,18 +274,30 @@ class LTSimulator:
             )
 
         def cond(s: _State):
-            # Every iteration peels a round or activates a symbol, so the
-            # process terminates within n - k + k + n rounds; cap at 4n.
-            return (s.it < 4 * n) & ~s.done.all()
+            return (s.it < self.seg_iters) & ~s.done.all()
 
-        final = lax.while_loop(cond, body, state)
-        return final.result, final.est, final.resolved
+        final = lax.while_loop(cond, body, s0)
+        return final._replace(it=jnp.zeros((), jnp.int32))
 
     # -- public API -------------------------------------------------------
+    def simulate(self, tables) -> tuple:
+        """Run sampled tables to completion. Returns (result, est,
+        resolved) device arrays."""
+        state = self._init(tables)
+        # Each iteration peels a round (resolves >= 1 variable) or jumps
+        # the prefix (activates >= 1 symbol), so k + n + 2 iterations
+        # bound the process; segments keep each device call short.
+        max_segments = (self.k + self.n) // self.seg_iters + 2
+        for _ in range(max_segments):
+            state = self._seg(tables, state)
+            if bool(state.done.all()):
+                break
+        return state.result, state.est, state.resolved
+
     def run(self, rng: np.random.Generator, batch: int):
         """Returns (num_symbols [B], est [B,k], resolved [B,k])."""
-        edge_sym, edge_var, msg = self.sample_batch(rng, batch)
-        res, est, resolved = self._sim(edge_sym, edge_var, msg)
+        tables = self.sample_batch(rng, batch)
+        res, est, resolved = self.simulate(tables)
         return np.asarray(res), np.asarray(est), np.asarray(resolved)
 
 

@@ -55,15 +55,15 @@ def test_soliton_distributions():
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_incremental_matches_restart_peeling(seed):
     k, n = 30, 70
-    sim = LTSimulator(k, n, c=0.1, delta=0.5)
+    sim = LTSimulator(k, n, c=0.1, delta=0.5, seg_iters=17)  # force resume
     rng = np.random.default_rng(seed)
-    edge_sym, edge_var, msg = sim.sample_batch(rng, batch=16)
-    res, est, resolved = sim._sim(edge_sym, edge_var, msg)
+    tables = sim.sample_batch(rng, batch=16)
+    res, est, resolved = sim.simulate(tables)
     res = np.asarray(res)
     for b in range(16):
-        expect = host_min_symbols(np.asarray(edge_sym[b]),
-                                  np.asarray(edge_var[b]),
-                                  np.asarray(msg[b]), k, n)
+        expect = host_min_symbols(np.asarray(tables["edge_sym"][b]),
+                                  np.asarray(tables["edge_var"][b]),
+                                  np.asarray(tables["msg"][b]), k, n)
         assert res[b] == expect, (b, res[b], expect)
 
 
@@ -71,9 +71,9 @@ def test_recovered_bits_are_correct():
     k, n = 40, 100
     sim = LTSimulator(k, n, c=0.1, delta=0.5)
     rng = np.random.default_rng(3)
-    edge_sym, edge_var, msg = sim.sample_batch(rng, 8)
-    res, est, resolved = sim._sim(edge_sym, edge_var, msg)
-    est, resolved, msg = map(np.asarray, (est, resolved, msg))
+    tables = sim.sample_batch(rng, 8)
+    res, est, resolved = sim.simulate(tables)
+    est, resolved, msg = map(np.asarray, (est, resolved, tables["msg"]))
     assert resolved.any()
     np.testing.assert_array_equal(est[resolved], msg[resolved])
 
