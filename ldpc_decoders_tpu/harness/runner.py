@@ -68,8 +68,6 @@ class RunConfig:
     pipeline: int = 2
 
     def decoder_kwargs(self) -> dict:
-        import jax.numpy as jnp
-
         return dict(max_iter=self.max_iter, mu=self.mu, eps=self.eps,
                     allow_pseudo=self.allow_pseudo, layers=list(self.layers),
                     train=self.train, apprx=self.apprx,
