@@ -32,30 +32,33 @@ def main() -> None:
     batch = 8192
     x = jnp.zeros((batch, code.get_n()), jnp.int32)
 
+    base_key = jax.random.PRNGKey(0)
+
     @jax.jit
-    def chunk(key, snr_db):
-        k1, k2 = jax.random.split(key)
+    def chunk(i, snr_db):
+        # Key derivation inside jit: the host passes a plain int, so each
+        # step is ONE dispatch (a host-side split would be a separate tiny
+        # device op per step — expensive over a remote-tunnel backend).
+        k1, k2 = jax.random.split(jax.random.fold_in(base_key, i))
         y = biawgn.send(k1, x, snr_db)
         x_hat, _ = dec.decode(biawgn.llr(y, snr_db), k2)
         errs = (x_hat != x).sum(axis=-1)
         return (errs > 0).sum(), errs.sum()
 
-    key = jax.random.PRNGKey(0)
     snr = 3.0
     # Warmup / compile.
-    w, b = chunk(key, snr)
+    w, b = chunk(0, snr)
     w.block_until_ready()
 
-    # Depth-2 pipelined adaptive loop, exactly like the harness: dispatch
-    # chunk i+1 before syncing chunk i's tallies.
-    reps = 30
+    # Pipelined adaptive loop, like the harness: sync tallies a few
+    # chunks behind the dispatch front.
+    reps, depth = 30, 4
     t0 = time.perf_counter()
     wec = 0
     pending = []
     for i in range(reps):
-        key, sub = jax.random.split(key)
-        pending.append(chunk(sub, snr))
-        if len(pending) > 1:
+        pending.append(chunk(i + 1, snr))
+        if len(pending) >= depth:
             w, b = pending.pop(0)
             wec += int(w)
     for w, b in pending:

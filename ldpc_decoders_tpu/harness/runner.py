@@ -62,10 +62,11 @@ class RunConfig:
     # regime) or "bfloat16" (~19% faster on TPU; statistically equivalent
     # curves, validated vs goldens).
     msg_dtype: str = "float32"
-    # Chunks dispatched ahead of the host sync point. Depth 2 overlaps
-    # host tallying with device decode — measured ~1.9x end-to-end on a
-    # v5e (the sync stall dominates otherwise). 1 = fully synchronous.
-    pipeline: int = 2
+    # Chunks dispatched ahead of the host sync point: overlaps host
+    # tallying with device decode (the sync stall otherwise dominates —
+    # ~1.9x end-to-end on a v5e; remote-tunnel backends profit from a
+    # deeper pipeline). 1 = fully synchronous.
+    pipeline: int = 4
 
     def decoder_kwargs(self) -> dict:
         return dict(max_iter=self.max_iter, mu=self.mu, eps=self.eps,
@@ -115,10 +116,12 @@ class MonteCarloRunner:
             return cb[idx]
         return jnp.full((batch, n), self.cfg.codeword, jnp.int32)
 
-    def _chunk_body(self, key, param, batch: Optional[int] = None):
-        """One super-batch: returns (wec, bec, iters[B])."""
+    def _chunk_body(self, key, i, param, batch: Optional[int] = None):
+        """One super-batch: returns (wec, bec, iters[B]). ``i`` is the
+        chunk counter — key derivation happens inside jit so each chunk
+        is a single host->device dispatch."""
         batch = batch or self.cfg.batch
-        kx, kc, kd = jax.random.split(key, 3)
+        kx, kc, kd = jax.random.split(jax.random.fold_in(key, i), 3)
         x = self._sample_x(kx, batch)
         y = self.mod.send(kc, x, param)
         x_hat, aux = self.dec.decode(y, param, kd)
@@ -129,8 +132,10 @@ class MonteCarloRunner:
     def _build_sharded_chunk(self, mesh):
         local = self.cfg.batch // mesh.devices.size
 
-        def per_device(key, param):
-            wec, bec, iters = self._chunk_body(key[0], param, batch=local)
+        def per_device(key, i, param):
+            dev_key = jax.random.fold_in(key, jax.lax.axis_index("batch"))
+            wec, bec, iters = self._chunk_body(dev_key, i, param,
+                                               batch=local)
             return (jax.lax.psum(wec, "batch"), jax.lax.psum(bec, "batch"),
                     iters)
 
@@ -139,20 +144,17 @@ class MonteCarloRunner:
         # cross-device value we consume is explicitly psum-reduced.
         sharded = jax.shard_map(
             per_device, mesh=mesh,
-            in_specs=(P("batch"), P()),
+            in_specs=(P(), P(), P()),
             out_specs=(P(), P(), P("batch")),
             check_vma=False)
         return jax.jit(sharded)
-
-    def _make_keys(self, key):
-        if self.mesh is None:
-            return key
-        return jax.random.split(key, self.mesh.devices.size)
 
     # ------------------------------------------------------------------
     def run_param(self, param: float, key) -> OrderedDict:
         cfg = self.cfg
         self._param = param
+        param_key = key
+        self._param_key = key
         tot = wec = bec = 0
         hist = np.zeros(ITER_HIST_LEN, dtype=np.int64)
         t_start = t_log = time.time()
@@ -182,9 +184,9 @@ class MonteCarloRunner:
             decode_chunk = self._host_chunk
         else:
             # Returns device arrays: dispatch is asynchronous, the sync
-            # happens in consume() one pipeline slot later.
-            def decode_chunk(k):
-                return self._chunk(self._make_keys(k), param)
+            # happens in consume() pipeline-depth slots later.
+            def decode_chunk(i):
+                return self._chunk(param_key, i, param)
 
         from collections import deque
 
@@ -205,11 +207,12 @@ class MonteCarloRunner:
                         np.clip(np.asarray(iters), 0, ITER_HIST_LEN - 1),
                         minlength=ITER_HIST_LEN)
 
+        chunk_i = 0
         while wec < cfg.min_wec:
             with prof.start():
-                key, sub = jax.random.split(key)
+                chunk_i += 1
                 with prof.tag("dispatch"):
-                    pending.append(decode_chunk(sub))
+                    pending.append(decode_chunk(chunk_i))
                 if len(pending) >= depth:
                     with prof.tag("consume"):
                         consume()
@@ -229,10 +232,11 @@ class MonteCarloRunner:
         log_status()
         return status()
 
-    def _host_chunk(self, key):
+    def _host_chunk(self, i):
         """Host-side decoders (LP): sample on device, decode on host."""
         param = self._param
-        kx, kc, kd = jax.random.split(key, 3)
+        kx, kc, kd = jax.random.split(
+            jax.random.fold_in(self._param_key, i), 3)
         x = np.asarray(self._sample_x(kx, self.cfg.batch))
         y = self.mod.send(kc, jnp.asarray(x), param)
         x_hat, _ = self.dec.decode(y, param, kd)
