@@ -34,14 +34,15 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
+from ldpc_decoders_tpu.ops import perm as perm_ops
 from ldpc_decoders_tpu.ops.graph import TannerGraph
-from ldpc_decoders_tpu.ops.projection import project_check_rows
+from ldpc_decoders_tpu.ops.projection import project_parity_polytope
 
 
 class ADMMState(NamedTuple):
     x: jnp.ndarray        # [B, V] fractional estimate
-    z: jnp.ndarray        # [B, E] replica variables
-    lam: jnp.ndarray      # [B, E] scaled duals
+    z: jnp.ndarray        # [B, C, Dc] replica variables (check layout)
+    lam: jnp.ndarray      # [B, C, Dc] scaled duals (check layout)
     done: jnp.ndarray     # [B] bool (converged; frozen)
     updates: jnp.ndarray  # [B] int32 number of x/z/lam updates applied
     it: jnp.ndarray       # scalar int32
@@ -55,7 +56,7 @@ class ADMMDecoder:
 
     def __init__(self, graph: TannerGraph, mu: float = 3.0, eps: float = 1e-5,
                  max_iter: int = 10, allow_pseudo: bool = False,
-                 iter_cap: int = 2000, **_):
+                 iter_cap: int = 2000, perm: str = "auto", **_):
         self.graph = graph
         self.mu = float(mu)
         self.eps = float(eps)
@@ -64,17 +65,45 @@ class ADMMDecoder:
         self.iter_cap = self.max_iter if self.max_iter > 0 else int(iter_cap)
         # Convergence threshold eps^2 * nnz(H) (reference admm.py:15).
         self.thresh = self.eps ** 2 * graph.n_edge
+        if perm == "auto":
+            perm = "matmul" if perm_ops.use_matmul(graph) else "gather"
+        self.perm = perm
+        if perm == "matmul":
+            # State lives in the check layout, so per-variable sums and
+            # the x broadcast are one-hot MXU matmuls (see ops/perm.py).
+            self._s_cv = jnp.asarray(perm_ops.var_sum_matrix(graph))
+            self._b_vc = jnp.asarray(perm_ops.var_broadcast_matrix(graph))
+
+    # -- per-iteration data movement, mode-dispatched --------------------
+    def _sum_per_var(self, chk_vals: jnp.ndarray) -> jnp.ndarray:
+        g = self.graph
+        B = chk_vals.shape[0]
+        if self.perm == "matmul":
+            return jnp.dot(chk_vals.reshape(B, -1), self._s_cv,
+                           preferred_element_type=jnp.float32)
+        return g.sum_per_var(g.scatter_chk(chk_vals))
+
+    def _broadcast_var(self, per_var: jnp.ndarray) -> jnp.ndarray:
+        g = self.graph
+        B = per_var.shape[0]
+        if self.perm == "matmul":
+            out = jnp.dot(per_var, self._b_vc,
+                          preferred_element_type=jnp.float32)
+            return out.reshape(B, g.n_chk, g.max_chk_deg)
+        return g.gather_chk(g.expand_var(per_var), fill=0.0)
 
     def decode(self, llr: jnp.ndarray, key=None) -> tuple:
         graph = self.graph
         gamma = llr.astype(jnp.float32)
         B = gamma.shape[0]
         var_deg = graph.var_deg.astype(jnp.float32)
+        cmask = graph.chk_mask                      # [C, Dc]
+        z0 = jnp.where(cmask, 0.5, 0.0)
 
         state = ADMMState(
             x=jnp.zeros((B, graph.n_var), jnp.float32),
-            z=jnp.full((B, graph.n_edge), 0.5, jnp.float32),
-            lam=jnp.zeros((B, graph.n_edge), jnp.float32),
+            z=jnp.broadcast_to(z0, (B,) + z0.shape),
+            lam=jnp.zeros((B,) + z0.shape, jnp.float32),
             done=jnp.zeros(B, dtype=bool),
             updates=jnp.zeros(B, jnp.int32),
             it=jnp.zeros((), jnp.int32),
@@ -85,19 +114,23 @@ class ADMMDecoder:
 
         def body(s: ADMMState):
             x = jnp.clip(
-                (graph.sum_per_var(s.z - s.lam / self.mu) - gamma / self.mu)
+                (self._sum_per_var(s.z - s.lam / self.mu) - gamma / self.mu)
                 / var_deg, 0.0, 1.0)                          # [B, V]
-            x_e = graph.expand_var(x)                          # [B, E]
-            z_new = project_check_rows(graph, x_e + s.lam / self.mu)
+            x_e = self._broadcast_var(x)                       # [B, C, Dc]
+            z_new = project_parity_polytope(x_e + s.lam / self.mu,
+                                            mask=cmask)
             lam = s.lam + self.mu * (x_e - z_new)
 
-            close = (((x_e - z_new) ** 2).sum(-1) < self.thresh) \
-                & (((s.z - z_new) ** 2).sum(-1) < self.thresh)
+            # Pad slots are zero in x_e, z and lam, so plain sums over the
+            # layout equal the reference's edge-vector norms (admm.py:19-25).
+            d1 = ((x_e - z_new) ** 2).sum((-1, -2))
+            d2 = ((s.z - z_new) ** 2).sum((-1, -2))
+            close = (d1 < self.thresh) & (d2 < self.thresh)
 
             active = ~s.done
-            m = active[:, None]
+            m = active[:, None, None]
             return ADMMState(
-                x=jnp.where(m, x, s.x),
+                x=jnp.where(active[:, None], x, s.x),
                 z=jnp.where(m, z_new, s.z),
                 lam=jnp.where(m, lam, s.lam),
                 done=s.done | (active & close),

@@ -109,9 +109,8 @@ class BPState(NamedTuple):
     it: jnp.ndarray       # scalar int32 global iteration counter
 
 
-# Permutations-as-matmul pay E^2 memory for the one-hot matrices; cap the
-# edge count where that stays cheap (E=8192 -> ~260 MB bf16 for both).
-MATMUL_PERM_MAX_EDGES = 8192
+from ldpc_decoders_tpu.ops import perm as perm_ops
+from ldpc_decoders_tpu.ops.perm import MATMUL_PERM_MAX_EDGES
 
 
 class BPDecoder:
@@ -157,24 +156,10 @@ class BPDecoder:
             self._build_perm_matrices()
 
     def _build_perm_matrices(self) -> None:
-        import numpy as np
-
-        g = self.graph
-        dt = self.msg_dtype
-        nc, nv = g.n_chk * g.max_chk_deg, g.n_var * g.max_var_deg
-        vfc = np.asarray(g.var_slot_from_chk)
-        cfv = np.asarray(g.chk_slot_from_var)
-        p_c2v = np.zeros((nc, nv), np.float32)
-        real = vfc < nc
-        p_c2v[vfc[real], np.nonzero(real)[0]] = 1.0
-        p_v2c = np.zeros((nv, nc), np.float32)
-        real = cfv < nv
-        p_v2c[cfv[real], np.nonzero(real)[0]] = 1.0
-        self._p_c2v = jnp.asarray(p_c2v, dt)
-        self._p_v2c = jnp.asarray(p_v2c, dt)
-        H = np.zeros((g.n_chk, g.n_var), np.float32)
-        H[np.asarray(g.edge_chk), np.asarray(g.edge_var)] = 1.0
-        self._h_t = jnp.asarray(H.T)  # [V, C]
+        g, dt = self.graph, self.msg_dtype
+        self._p_c2v = jnp.asarray(perm_ops.perm_chk_to_var(g), dt)
+        self._p_v2c = jnp.asarray(perm_ops.perm_var_to_chk(g), dt)
+        self._h_t = jnp.asarray(perm_ops.parity_matrix_t(g))  # [V, C]
 
     # -- layout conversion, mode-dispatched -----------------------------
     def _chk_to_var(self, chk_vals: jnp.ndarray) -> jnp.ndarray:
