@@ -65,12 +65,15 @@ class ADMMDecoder:
         self.iter_cap = self.max_iter if self.max_iter > 0 else int(iter_cap)
         # Convergence threshold eps^2 * nnz(H) (reference admm.py:15).
         self.thresh = self.eps ** 2 * graph.n_edge
+        # Unlike BP (bf16 messages / exact one-hot sums), ADMM iterates
+        # float32 state whose trajectory is precision-sensitive: default
+        # MXU precision quantizes f32 operands toward bf16 and visibly
+        # shifts WER, and with HIGHEST precision the matmul loses its
+        # speed edge — so the gather path is the default here.
         if perm == "auto":
-            perm = "matmul" if perm_ops.use_matmul(graph) else "gather"
+            perm = "gather"
         self.perm = perm
         if perm == "matmul":
-            # State lives in the check layout, so per-variable sums and
-            # the x broadcast are one-hot MXU matmuls (see ops/perm.py).
             self._s_cv = jnp.asarray(perm_ops.var_sum_matrix(graph))
             self._b_vc = jnp.asarray(perm_ops.var_broadcast_matrix(graph))
 
@@ -80,6 +83,7 @@ class ADMMDecoder:
         B = chk_vals.shape[0]
         if self.perm == "matmul":
             return jnp.dot(chk_vals.reshape(B, -1), self._s_cv,
+                           precision=lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)
         return g.sum_per_var(g.scatter_chk(chk_vals))
 
@@ -88,6 +92,7 @@ class ADMMDecoder:
         B = per_var.shape[0]
         if self.perm == "matmul":
             out = jnp.dot(per_var, self._b_vc,
+                          precision=lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
             return out.reshape(B, g.n_chk, g.max_chk_deg)
         return g.gather_chk(g.expand_var(per_var), fill=0.0)

@@ -43,6 +43,11 @@ def project_parity_polytope(v: jnp.ndarray,
 
     mask [..., D] bool marks real slots (True) vs padding; padded slots
     project to exactly 0. Shapes are static; everything vmaps/jits.
+
+    Sort-free: the algorithm only needs each coordinate's descending
+    RANK (to split the top r+1 block from the rest), and rank is a D^2
+    pairwise comparison — pure VPU work. A jnp.sort/argsort formulation
+    measured ~20x slower inside the ADMM loop on TPU.
     """
     dt = v.dtype
     D = v.shape[-1]
@@ -50,23 +55,27 @@ def project_parity_polytope(v: jnp.ndarray,
         pad_val = -(jnp.max(jnp.abs(v) * mask, axis=-1, keepdims=True) + 4.0)
         v = jnp.where(mask, v, pad_val)
 
-    perm = jnp.argsort(-v, axis=-1)
-    u = jnp.take_along_axis(v, perm, axis=-1)                  # sorted desc
-    z = jnp.clip(u, 0.0, 1.0)
+    # Descending rank with index tie-break (== rank in a stable sort).
+    gt = (v[..., None, :] > v[..., :, None]) | (
+        (v[..., None, :] == v[..., :, None])
+        & (jnp.arange(D)[None, :] < jnp.arange(D)[:, None]))
+    rank = gt.sum(axis=-1).astype(dt)                           # [..., D]
+
+    z = jnp.clip(v, 0.0, 1.0)
     s = jnp.floor(z.sum(axis=-1))
     r = (s - (s % 2)).astype(dt)                                # even floor
-    idx = jnp.arange(D, dtype=dt)
-    f = jnp.where(idx <= r[..., None], 1.0, -1.0).astype(dt)    # facet normal
+    f = jnp.where(rank <= r[..., None], 1.0, -1.0).astype(dt)   # facet normal
     fz = (f * z).sum(axis=-1)
     easy = fz <= r                                              # inside PP_D
 
     # T at all candidate breakpoints (clamped into the beta >= 0 domain),
-    # plus beta = 0 itself where T(0) = fz.
+    # plus beta = 0 itself where T(0) = fz. All in unsorted coordinates:
+    # top coords shift by -beta, bottom by +beta.
     top = f > 0
     cand = jnp.concatenate(
-        [jnp.where(top, u - 1.0, -u), jnp.where(top, u, 1.0 - u)], axis=-1)
+        [jnp.where(top, v - 1.0, -v), jnp.where(top, v, 1.0 - v)], axis=-1)
     cand = jnp.maximum(cand, 0.0)                               # [..., 2D]
-    zb = jnp.clip(u[..., None, :] - cand[..., :, None] * f[..., None, :],
+    zb = jnp.clip(v[..., None, :] - cand[..., :, None] * f[..., None, :],
                   0.0, 1.0)                                     # [..., 2D, D]
     T = (f[..., None, :] * zb).sum(axis=-1)                     # [..., 2D]
     cand = jnp.concatenate([cand, jnp.zeros_like(cand[..., :1])], axis=-1)
@@ -75,10 +84,11 @@ def project_parity_polytope(v: jnp.ndarray,
     rr = r[..., None]
     big = jnp.asarray(jnp.inf, dt)
     # Largest candidate with T >= r (beta = 0 qualifies on the non-easy
-    # branch since fz > r) and smallest with T <= r (cand contains u_0, the
-    # beta at which the whole top block clips to 0, giving T <= 0 <= r).
-    # T is monotone non-increasing and has no breakpoint strictly between
-    # lo and hi, so it is linear on [lo, hi]: interpolate exactly.
+    # branch since fz > r) and smallest with T <= r (cand contains the
+    # largest coordinate's own value, at which the whole top block has
+    # clipped to 0, giving T <= 0 <= r). T is monotone non-increasing and
+    # has no breakpoint strictly between lo and hi, so it is linear on
+    # [lo, hi]: interpolate exactly.
     lo = jnp.max(jnp.where(T >= rr, cand, 0.0), axis=-1)
     hi = jnp.min(jnp.where(T <= rr, cand, big), axis=-1)
     t_lo = jnp.max(jnp.where(cand == lo[..., None], T, -big), axis=-1)
@@ -87,11 +97,8 @@ def project_parity_polytope(v: jnp.ndarray,
     denom = t_lo - t_hi
     beta = jnp.where(denom > 0, lo + (t_lo - r) * (hi - lo)
                      / jnp.where(denom > 0, denom, 1.0), lo)
-    res = jnp.where(easy[..., None], z, jnp.clip(u - beta[..., None] * f,
-                                                 0.0, 1.0))
-
-    inv = jnp.argsort(perm, axis=-1)
-    out = jnp.take_along_axis(res, inv, axis=-1)
+    out = jnp.where(easy[..., None], z,
+                    jnp.clip(v - beta[..., None] * f, 0.0, 1.0))
     if mask is not None:
         out = jnp.where(mask, out, 0.0)
     return out
