@@ -8,6 +8,7 @@ implementations independently of each other (reference relied on three
 hand-checked vectors, exact.py:63-87).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -106,3 +107,22 @@ def test_project_check_rows_mixed_degrees():
     for b in range(v.shape[0]):
         oracle = native.proj_csr(indptr, v[b])
         np.testing.assert_allclose(ours[b], oracle, atol=2e-4)
+
+
+def test_ties_and_duplicates():
+    """Rank-based splitting must handle exactly-equal coordinates (the
+    pairwise-rank tie-break mirrors a stable descending sort)."""
+    vs = [
+        np.float64([0.7, 0.7, 0.7, 0.7]),
+        np.float64([1.2, 1.2, -0.3, -0.3]),
+        np.float64([0.5, 0.5, 0.5]),
+        np.float64([2.0, 2.0, 2.0]),
+        np.float64([-1.0, -1.0, 0.2, 0.2, 0.9]),
+    ]
+    for v in vs:
+        row = v[None, :]
+        ours = np.asarray(project_parity_polytope(
+            jnp.asarray(row, jnp.float32)))[0]
+        oracle = native.proj_rows(row)[0]
+        assert_is_projection(v, ours, tol=5e-4)
+        np.testing.assert_allclose(ours, oracle, atol=3e-4)
