@@ -49,6 +49,12 @@ from ldpc_decoders_tpu.ops.graph import TannerGraph
 # maximum representable certainty at phi(PHI_EPS) ~= log(2/PHI_EPS).
 PHI_EPS = 1e-7
 LLR_CLIP = 40.0
+# Min-sum messages must NOT be magnitude-capped: on the BSC all LLRs are
+# equal multiples of log((1-p)/p) and a cap acts like attenuated min-sum,
+# visibly *improving* WER vs the uncapped reference (observed 2-3x lower
+# — wrong for behavior parity). This guard only replaces the +inf a
+# (nonexistent in real codes) degree-1 check would emit.
+MSA_DEG1_GUARD = 1e30
 
 
 def phi(x: jnp.ndarray) -> jnp.ndarray:
@@ -97,7 +103,7 @@ def msa_check_rows(rows: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     slot = jnp.arange(mg.shape[-1])
     min2 = jnp.where(slot == amin, jnp.inf, mg).min(axis=-1, keepdims=True)
     ext = jnp.where(slot == amin, min2, min1)
-    ext = jnp.minimum(ext, LLR_CLIP)  # degree-1 rows: +inf -> clip
+    ext = jnp.minimum(ext, MSA_DEG1_GUARD)
     return (ext * _sign_parity(neg)).astype(rows.dtype)
 
 
@@ -162,13 +168,24 @@ class BPDecoder:
         self._h_t = jnp.asarray(perm_ops.parity_matrix_t(g))  # [V, C]
 
     # -- layout conversion, mode-dispatched -----------------------------
+    @property
+    def _dot_precision(self):
+        # MXU default precision rounds float32 operands toward bfloat16,
+        # silently quantizing every message per hop — on the BSC (LLRs
+        # all equal multiples of log((1-p)/p), heavily tie-structured)
+        # this shifted the MSA WER curve ~10 sigma off the reference.
+        # HIGHEST (bf16x3 passes) restores exact float32; for bfloat16
+        # messages the one-hot product is already exact either way.
+        return (lax.Precision.HIGHEST if self.msg_dtype == jnp.float32
+                else lax.Precision.DEFAULT)
+
     def _chk_to_var(self, chk_vals: jnp.ndarray) -> jnp.ndarray:
         g = self.graph
         if self.perm == "gather":
             return g.chk_to_var(chk_vals, 0)
         B = chk_vals.shape[0]
         flat = chk_vals.reshape(B, g.n_chk * g.max_chk_deg)
-        out = jnp.dot(flat, self._p_c2v,
+        out = jnp.dot(flat, self._p_c2v, precision=self._dot_precision,
                       preferred_element_type=chk_vals.dtype)
         return out.reshape(B, g.n_var, g.max_var_deg)
 
@@ -178,7 +195,7 @@ class BPDecoder:
             return g.var_to_chk(var_vals, 0)
         B = var_vals.shape[0]
         flat = var_vals.reshape(B, g.n_var * g.max_var_deg)
-        out = jnp.dot(flat, self._p_v2c,
+        out = jnp.dot(flat, self._p_v2c, precision=self._dot_precision,
                       preferred_element_type=var_vals.dtype)
         return out.reshape(B, g.n_chk, g.max_chk_deg)
 

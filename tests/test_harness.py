@@ -101,6 +101,10 @@ def test_runner_lp_host_path():
 @pytest.mark.parametrize("golden,param,channel,decoder,cw", [
     ("bec-7_4_hamming-SPA-10-1.json", "0.1", "bec", "SPA", 1),
     ("bsc-7_4_hamming-SPA-10-1.json", "0.06", "bsc", "SPA", 1),
+    # BSC MSA is the sharpest parity probe: equal-magnitude LLRs make the
+    # min-sum tie/saturation structure fully visible (an innocent-looking
+    # magnitude cap shifted this curve 10 sigma *better* than golden).
+    ("bsc-7_4_hamming-MSA-10-1.json", "0.06", "bsc", "MSA", 1),
     ("biawgn-7_4_hamming-SPA-10-1.json", "5.0", "biawgn", "SPA", 1),
 ])
 def test_golden_curve_agreement(golden, param, channel, decoder, cw):
