@@ -124,3 +124,16 @@ def test_golden_curve_agreement(golden, param, channel, decoder, cw):
     res = _run(cfg)[float(param)]
     sigma = wer_ref * math.sqrt(1.0 / wec_ref + 1.0 / max(res["wec"], 1))
     assert abs(res["wer"] - wer_ref) < 5 * sigma, (res["wer"], wer_ref, sigma)
+
+
+def test_runner_admma_train_mode(tmp_path):
+    """ADMMA flows through the harness in train mode (online teacher) and
+    keeps its iteration histogram (reference admm.py:80-106)."""
+    cfg = RunConfig(channel="bsc", code="7_4_hamming", decoder="ADMMA",
+                    params=[0.02], codeword=1, min_wec=3, batch=128,
+                    max_iter=30, train=True, layers=[16],
+                    cache_dir=str(tmp_path / "cache"),
+                    data_dir=str(tmp_path), log_freq=1e9)
+    res = MonteCarloRunner(cfg).run()[0.02]
+    assert res["wec"] >= 3
+    assert "dec" in res and res["dec"]["average"] > 0
