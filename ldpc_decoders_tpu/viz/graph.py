@@ -76,6 +76,10 @@ class Plotter:
         import matplotlib.pyplot as plt
         self.plt = plt
         ut_mpl.init()
+        # Fresh figure per Plotter: unlike the reference (one plot per
+        # process, graph.py:146-189), batch cases render many figures in
+        # one process and must not accumulate axes state.
+        plt.figure()
 
     # -- primitives -----------------------------------------------------
     def plot_pairs(self, pairs, label, style=None):
@@ -117,6 +121,8 @@ class Plotter:
         make_dir_if_not_exists(args.plots_dir)
         ut_mpl.save_show_fig(
             args, self.plt, os.path.join(args.plots_dir, args.file_name))
+        if getattr(args, "agg", False) or getattr(args, "save", False):
+            self.plt.close()
 
 
 # ----------------------------------------------------------------------
