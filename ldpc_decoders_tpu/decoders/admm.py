@@ -37,6 +37,7 @@ from jax import lax
 from ldpc_decoders_tpu.ops import perm as perm_ops
 from ldpc_decoders_tpu.ops.graph import TannerGraph
 from ldpc_decoders_tpu.ops.projection import project_parity_polytope
+from ldpc_decoders_tpu.utils.math import pseudo_to_cw_jnp
 
 
 class ADMMState(NamedTuple):
@@ -144,15 +145,9 @@ class ADMMDecoder:
             )
 
         final = lax.while_loop(cond, body, state)
-        x_hat = self._pseudo_to_cw(final.x)
+        x_hat = pseudo_to_cw_jnp(final.x, self.allow_pseudo)
         # Reference histogram index (admm.py:47-53): converged after k
         # updates -> k-1; stopped by the cap -> cap.
         iters = jnp.where(final.done, final.updates - 1, final.updates)
         return x_hat, iters
 
-    def _pseudo_to_cw(self, x: jnp.ndarray) -> jnp.ndarray:
-        if not self.allow_pseudo:
-            return (x > 0.5).astype(jnp.int32)
-        eps = 1e-8
-        x = jnp.where(x < eps, 0.0, x)
-        return jnp.where(1.0 - x < eps, 1.0, x)

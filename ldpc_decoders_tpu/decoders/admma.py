@@ -34,6 +34,7 @@ from jax import lax
 
 from ldpc_decoders_tpu.ops.graph import TannerGraph
 from ldpc_decoders_tpu.ops.projection import project_parity_polytope
+from ldpc_decoders_tpu.utils.math import pseudo_to_cw_jnp
 
 
 # ----------------------------------------------------------------------
@@ -175,7 +176,9 @@ class ADMMADecoder:
                 params = optax.apply_updates(params, upd)
                 z_rows = target        # decode with the teacher (admm.py:97)
             elif self.switch > 0:
-                z_rows = lax.cond(s_it < self.switch,
+                # Reference admm.py:101 (`0 < switch < iter_count`): the
+                # MLP serves iterations 0..switch INCLUSIVE.
+                z_rows = lax.cond(s_it <= self.switch,
                                   lambda r: mlp_apply(params, r),
                                   exact_rows, rows)
             else:
@@ -214,23 +217,32 @@ class ADMMADecoder:
             params=params, opt_state=opt_state)
 
         final = lax.while_loop(cond, body, init)
-        x_hat = self._pseudo_to_cw(final.x)
+        x_hat = pseudo_to_cw_jnp(final.x, self.allow_pseudo)
         iters = jnp.where(final.done, final.updates - 1, final.updates)
         return x_hat, iters, final.params, final.opt_state
 
+    # The harness must NOT close over decode() inside its own jit: the
+    # parameter update is host-side state (see `stateful`), and tracing
+    # it would silently discard training and leak tracers into
+    # self.params. The runner dispatches stateful decoders eagerly
+    # (self._decode is jitted internally, so the hot loop still compiles).
+    stateful = True
+
     def decode(self, llr: jnp.ndarray, key=None) -> tuple:
+        import jax.core
+
+        if isinstance(llr, jax.core.Tracer):
+            raise RuntimeError(
+                "ADMMADecoder.decode must not be traced by an outer jit: "
+                "its parameter/optimizer state update is a host-side "
+                "side effect (use the pure _decode, or let the harness "
+                "drive it eagerly via the `stateful` attribute)")
         x_hat, iters, params, opt_state = self._decode(
             llr.astype(jnp.float32), self.params, self.opt_state)
         if self.train:
             self.params, self.opt_state = params, opt_state
         return x_hat, iters
 
-    def _pseudo_to_cw(self, x):
-        if not self.allow_pseudo:
-            return (x > 0.5).astype(jnp.int32)
-        eps = 1e-8
-        x = jnp.where(x < eps, 0.0, x)
-        return jnp.where(1.0 - x < eps, 1.0, x)
 
 
 # ----------------------------------------------------------------------

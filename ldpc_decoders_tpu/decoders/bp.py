@@ -43,7 +43,12 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
-from ldpc_decoders_tpu.ops.graph import TannerGraph
+from ldpc_decoders_tpu.ops import perm as perm_ops
+from ldpc_decoders_tpu.ops.graph import (
+    TannerGraph,
+    exclusive_sign_parity,
+    exclusive_sum,
+)
 
 # float32 phi-domain guards: phi is its own inverse; PHI_EPS bounds the
 # maximum representable certainty at phi(PHI_EPS) ~= log(2/PHI_EPS).
@@ -63,34 +68,13 @@ def phi(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.log1p(ex) - jnp.log1p(-ex)
 
 
-def _exclusive_sum_lastaxis(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact leave-one-out sum via prefix/suffix partial sums (no
-    total-minus-self cancellation)."""
-    d = x.shape[-1]
-    if d == 1:
-        return jnp.zeros_like(x)
-    zero = jnp.zeros(x.shape[:-1] + (1,), dtype=x.dtype)
-    prefix = jnp.concatenate([zero, jnp.cumsum(x, axis=-1)[..., :-1]], -1)
-    suffix = jnp.concatenate(
-        [jnp.cumsum(x[..., ::-1], axis=-1)[..., ::-1][..., 1:], zero], -1)
-    return prefix + suffix
-
-
-def _sign_parity(neg: jnp.ndarray) -> jnp.ndarray:
-    """Leave-one-out sign product from a 0/1 negativity mask: computed as
-    integer negative-count parity (cheap, exact, and avoids a TPU
-    compiler crash seen with float prod-reduce + gather fusion)."""
-    excl = neg.sum(axis=-1, keepdims=True) - neg
-    return (1 - 2 * (excl % 2))
-
-
 def spa_check_rows(rows: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """SPA extrinsic messages per check row. [..., C, Dc] -> same."""
     mag = jnp.clip(jnp.abs(rows.astype(jnp.float32)), PHI_EPS, LLR_CLIP)
     ph = jnp.where(mask, phi(mag), 0.0)          # pad: certain, sum-neutral
     neg = jnp.where(mask, rows < 0, False).astype(jnp.int32)
-    ext = phi(jnp.clip(_exclusive_sum_lastaxis(ph), PHI_EPS, None))
-    return (ext * _sign_parity(neg)).astype(rows.dtype)
+    ext = phi(jnp.clip(exclusive_sum(ph), PHI_EPS, None))
+    return (ext * exclusive_sign_parity(neg)).astype(rows.dtype)
 
 
 def msa_check_rows(rows: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -104,7 +88,7 @@ def msa_check_rows(rows: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     min2 = jnp.where(slot == amin, jnp.inf, mg).min(axis=-1, keepdims=True)
     ext = jnp.where(slot == amin, min2, min1)
     ext = jnp.minimum(ext, MSA_DEG1_GUARD)
-    return (ext * _sign_parity(neg)).astype(rows.dtype)
+    return (ext * exclusive_sign_parity(neg)).astype(rows.dtype)
 
 
 class BPState(NamedTuple):
@@ -113,10 +97,6 @@ class BPState(NamedTuple):
     done: jnp.ndarray     # [B] bool: syndrome satisfied (frozen)
     iters: jnp.ndarray    # [B] int32: iterations executed per word
     it: jnp.ndarray       # scalar int32 global iteration counter
-
-
-from ldpc_decoders_tpu.ops import perm as perm_ops
-from ldpc_decoders_tpu.ops.perm import MATMUL_PERM_MAX_EDGES
 
 
 class BPDecoder:
@@ -153,8 +133,8 @@ class BPDecoder:
         self._check_rows = (spa_check_rows if variant == "SPA"
                             else msa_check_rows)
         if perm == "auto":
-            perm = ("matmul" if graph.n_edge <= MATMUL_PERM_MAX_EDGES
-                    else "gather")
+            perm = "matmul" if perm_ops.use_matmul(graph) else "gather"
+
         if perm not in ("matmul", "gather"):
             raise ValueError(f"unknown perm mode {perm!r}")
         self.perm = perm

@@ -65,8 +65,12 @@ class MLBiAWGN(MLDecoderBase):
     """ML for the biAWGN channel (reference biawgn.py:66-78)."""
 
     def decode(self, y: jnp.ndarray, snr_db, key) -> jnp.ndarray:
-        # argmax of -||cb_pm - y||^2 = argmax of y . cb_pm (||cb_pm||^2 = n)
+        # argmax of -||cb_pm - y||^2 = argmax of y . cb_pm (||cb_pm||^2 = n).
+        # HIGHEST precision: default MXU precision rounds the real-valued
+        # y toward bfloat16, making the "exact oracle" non-ML on near-tie
+        # words (BSC/BEC scores are exactly representable and unaffected).
         score = jnp.dot(y.astype(jnp.float32), self.cb_pm.T,
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)       # [B, K]
         idx = arg_max_rand_batched(score, key)
         return self.cb[idx].astype(jnp.int32)

@@ -89,6 +89,13 @@ class MonteCarloRunner:
         self.host_only = getattr(self.dec, "host_only", False)
         self.track_hist = getattr(getattr(self.dec, "dec", None),
                                   "track_iter_hist", False)
+        # Stateful decoders (ADMMA online training) update host-side
+        # parameters in decode(); tracing that inside the chunk jit would
+        # leak tracers and silently discard the training, so their chunks
+        # dispatch eagerly (the decoder's own inner jit still compiles
+        # the hot loop).
+        self.stateful = getattr(getattr(self.dec, "dec", None),
+                                "stateful", False)
 
         # Run identity: same id-key convention as reference main.py:13.
         id_keys = (["channel", "code", "decoder", "codeword", "min_wec"]
@@ -103,7 +110,12 @@ class MonteCarloRunner:
         if mesh is not None:
             if cfg.batch % mesh.devices.size:
                 raise ValueError("batch must divide evenly over the mesh")
+            if self.stateful:
+                raise ValueError("stateful decoders (ADMMA train mode) do "
+                                 "not support mesh sharding yet")
             self._chunk = self._build_sharded_chunk(mesh)
+        elif self.stateful:
+            self._chunk = self._chunk_body  # eager; decoder jits inside
         else:
             self._chunk = jax.jit(self._chunk_body)
 

@@ -79,8 +79,9 @@ def setup_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 BP messages (faster; statistically "
                              "equivalent curves)")
-    parser.add_argument("--pipeline", type=int, default=2,
-                        help="chunks in flight ahead of the host sync")
+    parser.add_argument("--pipeline", type=int, default=4,
+                        help="chunks in flight ahead of the host sync "
+                             "(matches RunConfig.pipeline)")
     parser.add_argument("--profile", action="store_true",
                         help="log per-section LoopProfiler timings")
     return bind_parser_common(parser)

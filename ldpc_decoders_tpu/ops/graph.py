@@ -260,14 +260,17 @@ def exclusive_min(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(prefix, suffix)
 
 
-def exclusive_prod_sign(sign: jnp.ndarray) -> jnp.ndarray:
-    """Leave-one-out product of +-1 signs along the last axis.
-
-    Computed as negative-count parity (integer adds on the VPU) rather
-    than a float product reduction: equivalent for +-1 inputs, cheaper,
-    and it avoids a TPU compiler crash observed when a float prod-reduce
-    fuses with a broadcast multiply and an edge-table gather.
-    """
-    neg = (sign < 0).astype(jnp.int32)
+def exclusive_sign_parity(neg: jnp.ndarray) -> jnp.ndarray:
+    """Leave-one-out sign product from a 0/1 negativity mask, as
+    negative-count parity (integer adds on the VPU): equivalent to a
+    float +-1 product reduction for real inputs, cheaper, and it avoids
+    a TPU compiler crash observed when a float prod-reduce fuses with a
+    broadcast multiply and an edge-table gather. Returns int +-1."""
     excl = neg.sum(axis=-1, keepdims=True) - neg  # exact: integer counts
-    return (1 - 2 * (excl % 2)).astype(sign.dtype)
+    return 1 - 2 * (excl % 2)
+
+
+def exclusive_prod_sign(sign: jnp.ndarray) -> jnp.ndarray:
+    """Leave-one-out product of +-1 signs along the last axis."""
+    neg = (sign < 0).astype(jnp.int32)
+    return exclusive_sign_parity(neg).astype(sign.dtype)

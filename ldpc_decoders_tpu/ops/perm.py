@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import numpy as np
 
-# E=8192 -> ~260 MB bfloat16 for the two permutation matrices.
+# Budget for the two dense [~E x ~E] permutation matrices: at E=8192
+# that is ~260 MB in bfloat16 and ~520 MB in float32 (the BP default) —
+# comfortable on 16 GB HBM either way; gathers take over beyond it.
 MATMUL_PERM_MAX_EDGES = 8192
 
 

@@ -49,21 +49,29 @@ def naturalkey(text: str):
 def gen_unique_labels(names, tokens=("_", "__", "-", ".json")):
     """Shortest distinguishing labels: drop tokens shared by ALL names.
 
-    Splits each name on the token set, removes the fields common to every
-    name, and joins the rest — so a directory of runs differing only in
-    decoder and max_iter gets labels like 'SPA-10'."""
+    Splits each name on the token set and removes each token only as many
+    times as it appears in EVERY name (multiset intersection) — so
+    'MSA-1-100-10' vs 'MSA-1-100-100' keeps one '100' for the second name
+    instead of deleting its distinguishing field entirely."""
+    from collections import Counter
+
     pattern = "|".join(re.escape(t) for t in
                        sorted(set(tokens), key=len, reverse=True))
     split = [tuple(t for t in re.split(pattern, n) if t) for n in names]
     if not split:
         return []
-    common = set(split[0])
+    common = Counter(split[0])
     for s in split[1:]:
-        common &= set(s)
-    # Keep fields appearing in all names only if their multiplicity varies.
+        common &= Counter(s)
     labels = []
     for s in split:
-        kept = [t for t in s if t not in common]
+        drop = Counter(common)
+        kept = []
+        for t in s:
+            if drop[t] > 0:
+                drop[t] -= 1
+            else:
+                kept.append(t)
         labels.append("-".join(kept) if kept else "-".join(s))
     return labels
 

@@ -38,6 +38,17 @@ def pseudo_to_cw(x: np.ndarray, allow_pseudo: bool, eps: float = 1e-8) -> np.nda
     return (x > 0.5).astype(np.int64)
 
 
+def pseudo_to_cw_jnp(x, allow_pseudo: bool, eps: float = 1e-8):
+    """jit-compatible twin of :func:`pseudo_to_cw`, shared by the ADMM
+    and ADMMA decoders (reference math_utils.py:28-34)."""
+    import jax.numpy as jnp
+
+    if not allow_pseudo:
+        return (x > 0.5).astype(jnp.int32)
+    x = jnp.where(x < eps, 0.0, x)
+    return jnp.where(1.0 - x < eps, 1.0, x)
+
+
 def arg_max_rand(values: np.ndarray, rng: np.random.Generator) -> int:
     """Argmax with uniform random tie-breaking (reference math_utils.py:72-74)."""
     values = np.asarray(values)

@@ -205,6 +205,9 @@ def run(args) -> list:
     p = Plotter(args)
     dl = [DataRoot(fn, lb, args) for fn, lb in zip(file_names, labels)]
     dl = [r for r in dl if r.data is not None]
+    if not dl:
+        print("no loadable result files in", args.data_dir)
+        return []
     dl.sort(key=lambda r: naturalkey(r.get_label()))
     args.channel = dl[0].data["channel"]
     plot_reg.get(args.type)(p, dl)

@@ -23,7 +23,11 @@ for arg in "$@"; do
   esac
 done
 
-python -m ldpc_decoders_tpu.campaign "${cases[@]}" --emit | while read -r line; do
+# Collect lines first (a `| while read` pipeline would background the
+# jobs inside a subshell, leaving the outer `wait` nothing to wait on).
+mapfile -t lines < <(python -m ldpc_decoders_tpu.campaign "${cases[@]}" --emit)
+
+for line in "${lines[@]}"; do
   cmd="python -u -m ldpc_decoders_tpu.main $line ${extra[*]-}"
   echo ">> $cmd"
   if [ "$mode" = "PARA" ]; then

@@ -82,3 +82,23 @@ def test_admma_requires_regular_degree():
     code = get_code("4_2_test")  # degrees 2,3,2
     with pytest.raises(ValueError):
         ADMMADecoder(code.graph, train=True)
+
+
+def test_harness_train_mode_persists_parameters(hamming, tmp_path):
+    """Regression: online training through the harness must actually
+    accumulate into host-side parameters across chunks (a jitted chunk
+    closure would bake the initial weights in and leak tracers)."""
+    import numpy as np
+    from ldpc_decoders_tpu.harness import MonteCarloRunner, RunConfig
+
+    cfg = RunConfig(channel="bsc", code="7_4_hamming", decoder="ADMMA",
+                    params=[0.05], codeword=1, min_wec=10, batch=128,
+                    max_iter=20, train=True, layers=[16],
+                    cache_dir=str(tmp_path), log_freq=1e9)
+    runner = MonteCarloRunner(cfg)
+    p0 = np.asarray(runner.dec.dec.params[0]["w"]).copy()
+    runner.run()
+    p1 = np.asarray(runner.dec.dec.params[0]["w"])  # must be concrete
+    assert not np.allclose(p0, p1), "training did not persist"
+    path = runner.dec.dec.save()
+    assert path.endswith(".npz")
