@@ -16,12 +16,15 @@ TPU re-design, two inversions of the reference:
    decidedly cheaper.
 2. The reference fans sims out over a multiprocessing.Pool
    (luby.py:153-180) one graph at a time through scipy CSC surgery; here
-   a whole batch of sims runs inside one ``lax.while_loop`` over padded
-   edge tables ([B, E] static shapes, per-sim done masks), with
-   ``segment_sum`` scatter-adds as the peeling primitive. Degrees are
-   soliton-distributed (a heavy spike near k/R), so the fixed-width
-   gather layout used for LDPC graphs would waste 100x memory here —
-   segment reductions are the right TPU shape for this graph family.
+   a whole batch of sims runs in segmented ``lax.while_loop`` calls over
+   padded edge tables ([B, E] static shapes, per-sim done masks). The
+   peeling primitives are scatter-free: edges are stored sorted by
+   symbol (plus a precomputed variable-order permutation), so every
+   per-symbol / per-variable reduction is a cumsum + two indptr gathers.
+   Degrees are soliton-distributed (a heavy spike near k/R), so the
+   fixed-width gather layout used for LDPC graphs would waste 100x
+   memory here — sorted-segment reductions are the right TPU shape for
+   this graph family.
 """
 
 from __future__ import annotations
@@ -153,7 +156,10 @@ class LTSimulator:
     c: float
     delta: float
     e_pad: Optional[int] = None
-    seg_iters: int = 256
+    # 64 iterations per device call is the conservatively-validated TPU
+    # configuration at k=10000 (larger per-call workloads intermittently
+    # crash the current TPU backend; CPU is unaffected at any size).
+    seg_iters: int = 64
 
     def __post_init__(self):
         self.omega = robust_soliton(self.k, self.c, self.delta)
