@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def arg_max_rand_batched(values: jnp.ndarray, key) -> jnp.ndarray:

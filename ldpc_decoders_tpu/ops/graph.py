@@ -26,7 +26,6 @@ whose value is the ``fill`` argument.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np
