@@ -1,0 +1,154 @@
+"""Ensemble BP: one compilation decoding G same-shape codes at once.
+
+The reference sweeps code ensembles (10 random regular H samples) as 10
+independent cluster jobs (simulations.py:79-85 REG_ENS). Decoding them
+per-code on TPU recompiles per member — measured ~3 min of compile for
+~20 s of decode each in the REG_ENS artifact run. Same-shape ensemble
+members differ only in their index tables, so stacking every table on a
+leading axis and ``vmap``-ing the decode turns the whole ensemble into
+ONE compiled program: [G, B, V] LLRs in, [G, B, V] decisions out —
+SURVEY.md's "stack H edge-tables on a leading axis" parallelism row.
+
+Uses the matmul permutation route (one-hot matrices stack naturally and
+the MXU batches over G); memory is G * 2 * (~E^2) matrix entries, so
+this is for short-to-medium ensemble codes (the reference's are n=1200,
+E=3600: ~1 GB float32 at G=10).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ldpc_decoders_tpu.decoders.bp import msa_check_rows, spa_check_rows
+from ldpc_decoders_tpu.ops import perm as perm_ops
+from ldpc_decoders_tpu.ops.graph import TannerGraph
+
+
+class _EnsState(NamedTuple):
+    v2c: jnp.ndarray
+    x_hat: jnp.ndarray
+    done: jnp.ndarray
+    iters: jnp.ndarray
+    it: jnp.ndarray
+
+
+class EnsembleBPDecoder:
+    """Batched SPA/MSA over a stacked code ensemble.
+
+    decode(llr [G, B, V]) -> (x_hat [G, B, V] int32, iters [G, B]).
+    All member graphs must share (C, V, Dc, Dv); one jit compilation
+    serves every member (and any future same-shape resample).
+    """
+
+    id_keys = ["max_iter"]
+
+    def __init__(self, graphs: Sequence[TannerGraph], variant: str = "SPA",
+                 max_iter: int = 10, iter_cap: int = 1000,
+                 msg_dtype=jnp.float32, **_):
+        if variant not in ("SPA", "MSA"):
+            raise ValueError(f"unknown BP variant {variant!r}")
+        shapes = {(g.n_chk, g.n_var, g.max_chk_deg, g.max_var_deg)
+                  for g in graphs}
+        if len(shapes) != 1:
+            raise ValueError(f"ensemble members differ in shape: {shapes}")
+        (self.n_chk, self.n_var, self.max_chk_deg,
+         self.max_var_deg) = next(iter(shapes))
+        self.n_members = len(graphs)
+        self.variant = variant
+        self.max_iter = int(max_iter)
+        self.iter_cap = self.max_iter if self.max_iter > 0 else int(iter_cap)
+        self.msg_dtype = jnp.dtype(msg_dtype)
+        self._check_rows = (spa_check_rows if variant == "SPA"
+                            else msa_check_rows)
+
+        dt = self.msg_dtype
+        self.tables = {
+            "p_c2v": jnp.asarray(np.stack(
+                [perm_ops.perm_chk_to_var(g) for g in graphs]), dt),
+            "p_v2c": jnp.asarray(np.stack(
+                [perm_ops.perm_var_to_chk(g) for g in graphs]), dt),
+            "h_t": jnp.asarray(np.stack(
+                [perm_ops.parity_matrix_t(g) for g in graphs])),
+            "cmask": jnp.asarray(np.stack(
+                [np.asarray(g.chk_mask) for g in graphs])),
+            "vmask": jnp.asarray(np.stack(
+                [np.asarray(g.var_mask) for g in graphs])),
+        }
+        self._decode = jax.jit(jax.vmap(self._decode_one))
+
+    @property
+    def _dot_precision(self):
+        # Same MXU-default-precision hazard as BPDecoder._dot_precision.
+        return (lax.Precision.HIGHEST if self.msg_dtype == jnp.float32
+                else lax.Precision.DEFAULT)
+
+    # -- single-member decode, written over table ARGUMENTS so vmap can
+    #    batch the member axis --------------------------------------------
+    def _decode_one(self, tables: dict, llr: jnp.ndarray) -> tuple:
+        C, V = self.n_chk, self.n_var
+        Dc, Dv = self.max_chk_deg, self.max_var_deg
+        dt = self.msg_dtype
+        llr = llr.astype(jnp.float32)
+        B = llr.shape[0]
+        cmask, vmask = tables["cmask"], tables["vmask"]
+
+        def chk_to_var(x):
+            out = jnp.dot(x.reshape(B, C * Dc), tables["p_c2v"],
+                          precision=self._dot_precision,
+                          preferred_element_type=x.dtype)
+            return out.reshape(B, V, Dv)
+
+        def var_to_chk(x):
+            out = jnp.dot(x.reshape(B, V * Dv), tables["p_v2c"],
+                          precision=self._dot_precision,
+                          preferred_element_type=x.dtype)
+            return out.reshape(B, C, Dc)
+
+        def syndrome_ok(x_hat):
+            s = jnp.dot(x_hat.astype(jnp.float32), tables["h_t"],
+                        preferred_element_type=jnp.float32)
+            return (s.astype(jnp.int32) % 2 == 0).all(axis=-1)
+
+        x0 = (llr < 0).astype(jnp.int32)
+        pri = jnp.broadcast_to(llr[:, :, None], (B, V, Dv))
+        state = _EnsState(
+            v2c=var_to_chk(pri.astype(dt)),
+            x_hat=x0,
+            done=syndrome_ok(x0),
+            iters=jnp.zeros(B, jnp.int32),
+            it=jnp.zeros((), jnp.int32),
+        )
+
+        def cond(s):
+            return (s.it < self.iter_cap) & ~s.done.all()
+
+        def body(s):
+            c2v = self._check_rows(s.v2c, cmask)
+            c2v_var = chk_to_var(c2v).astype(jnp.float32)
+            marginal = llr + jnp.where(vmask, c2v_var, 0.0).sum(-1)
+            v2c_var = (marginal[:, :, None] - c2v_var).astype(dt)
+            x_new = (marginal < 0).astype(jnp.int32)
+            active = ~s.done
+            x_hat = jnp.where(active[:, None], x_new, s.x_hat)
+            v2c = jnp.where(active[:, None, None], var_to_chk(v2c_var),
+                            s.v2c)
+            return _EnsState(v2c, x_hat,
+                             s.done | syndrome_ok(x_hat),
+                             s.iters + active.astype(jnp.int32),
+                             s.it + 1)
+
+        final = lax.while_loop(cond, body, state)
+        return final.x_hat, final.iters
+
+    def decode(self, llr: jnp.ndarray, key=None) -> tuple:
+        """llr [G, B, V] -> (x_hat [G, B, V], iters [G, B])."""
+        if llr.shape[0] != self.n_members:
+            raise ValueError(
+                f"expected leading member axis {self.n_members}, "
+                f"got {llr.shape}")
+        return self._decode(self.tables, llr)
