@@ -43,12 +43,18 @@ class _AWGNHostLLRWrapped(_HostLLRWrapped):
         return self.dec.decode_batch(gamma), {}
 
 
+# check_init=False: the reference initializes x_hat to the real-valued y
+# (bpa.py:19), which never satisfies the syndrome, so biAWGN BP always
+# runs at least one iteration — unlike bit-input channels where the
+# iteration-0 syndrome exit is behavior-identical.
 def SPA(code, **kw):
-    return _AWGNLLRWrapped(BPDecoder(code.graph, "SPA", **kw))
+    return _AWGNLLRWrapped(BPDecoder(code.graph, "SPA", check_init=False,
+                                     **kw))
 
 
 def MSA(code, **kw):
-    return _AWGNLLRWrapped(BPDecoder(code.graph, "MSA", **kw))
+    return _AWGNLLRWrapped(BPDecoder(code.graph, "MSA", check_init=False,
+                                     **kw))
 
 
 class _MLWrapped:

@@ -31,8 +31,18 @@ FILE_CODES_DIR_ENV = "FILE_CODES_DIR"
 
 
 def file_codes_dir() -> str:
-    default = os.path.join("data", "codes")
-    return os.path.abspath(os.environ.get(FILE_CODES_DIR_ENV, default))
+    """FILE_CODES_DIR env override, else the repo's own data/codes (so
+    campaigns run from a bare checkout), else cwd-relative data/codes
+    (the reference's convention, codes.py:68-70)."""
+    env = os.environ.get(FILE_CODES_DIR_ENV)
+    if env:
+        return os.path.abspath(env)
+    repo_default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "data", "codes")
+    if os.path.isdir(repo_default):
+        return repo_default
+    return os.path.abspath(os.path.join("data", "codes"))
 
 
 class Code:
@@ -148,7 +158,11 @@ def get_code_names() -> list:
 
 
 @functools.lru_cache(maxsize=64)
-def _get_code_cached(name: str, path: Optional[str]) -> Code:
+def _get_code_cached(name: str, path: Optional[str],
+                     mtime: Optional[float]) -> Code:
+    # mtime participates in the cache key so a regenerated file at the
+    # same path is reloaded (a (name, path)-only key served stale codes).
+    del mtime
     if path is not None:
         return Code(None, load_parity_mtx(path))
     return Code(*BUILTIN_CODES[name])
@@ -160,9 +174,10 @@ def get_code(name: str) -> Code:
     checks the file map first)."""
     fmap = _file_code_map()
     if name in fmap:
-        return _get_code_cached(name, fmap[name])
+        path = fmap[name]
+        return _get_code_cached(name, path, os.path.getmtime(path))
     if name in BUILTIN_CODES:
-        return _get_code_cached(name, None)
+        return _get_code_cached(name, None, None)
     raise KeyError(f"unknown code {name!r}; known: {get_code_names()}")
 
 

@@ -18,7 +18,12 @@ is ~1.4x the naive layout; with bfloat16 messages (``msg_dtype``) ~1.7x.
 Semantics preserved from the reference:
 
 - syndrome early exit checked *before* each iteration (bpa.py:29), so a
-  received word that is already a codeword decodes in zero iterations;
+  received word that is already a codeword decodes in zero iterations.
+  The reference initializes ``x_hat = y`` (bpa.py:19), so on real-valued
+  channels (biAWGN) the initial syndrome never passes and at least one BP
+  iteration always runs; ``check_init=False`` reproduces that exactly
+  (the biAWGN factories set it). Bit-input channels keep the iteration-0
+  exit, which is identical to the reference's check on y;
 - ``max_iter <= 0`` means run until convergence (bpa.py:28); since a
   compiled loop needs a bound, this maps to a large configurable safety
   cap (``iter_cap``);
@@ -121,10 +126,12 @@ class BPDecoder:
 
     def __init__(self, graph: TannerGraph, variant: str = "SPA",
                  max_iter: int = 10, iter_cap: int = 1000,
-                 msg_dtype=jnp.float32, perm: str = "auto", **_):
+                 msg_dtype=jnp.float32, perm: str = "auto",
+                 check_init: bool = True, **_):
         if variant not in ("SPA", "MSA"):
             raise ValueError(f"unknown BP variant {variant!r}")
         self.graph = graph
+        self.check_init = bool(check_init)
         self.variant = variant
         self.max_iter = int(max_iter)
         # max_iter <= 0 => run to convergence, bounded by the safety cap.
@@ -200,7 +207,8 @@ class BPDecoder:
         vmask = g.var_mask
 
         x0 = (llr < 0).astype(jnp.int32)
-        done0 = self._syndrome_ok(x0)
+        done0 = (self._syndrome_ok(x0) if self.check_init
+                 else jnp.zeros(B, bool))
         # Priors on every edge, in check layout (bpa.py:19).
         pri = jnp.broadcast_to(llr[:, :, None], llr.shape + (g.max_var_deg,))
         v2c0 = self._var_to_chk(pri.astype(dt))

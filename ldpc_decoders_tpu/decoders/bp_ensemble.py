@@ -49,9 +49,12 @@ class EnsembleBPDecoder:
 
     def __init__(self, graphs: Sequence[TannerGraph], variant: str = "SPA",
                  max_iter: int = 10, iter_cap: int = 1000,
-                 msg_dtype=jnp.float32, **_):
+                 msg_dtype=jnp.float32, check_init: bool = True, **_):
         if variant not in ("SPA", "MSA"):
             raise ValueError(f"unknown BP variant {variant!r}")
+        # check_init=False mirrors BPDecoder: biAWGN always runs >=1
+        # iteration (reference bpa.py:19 initializes x_hat to real y).
+        self.check_init = bool(check_init)
         shapes = {(g.n_chk, g.n_var, g.max_chk_deg, g.max_var_deg)
                   for g in graphs}
         if len(shapes) != 1:
@@ -119,7 +122,8 @@ class EnsembleBPDecoder:
         state = _EnsState(
             v2c=var_to_chk(pri.astype(dt)),
             x_hat=x0,
-            done=syndrome_ok(x0),
+            done=(syndrome_ok(x0) if self.check_init
+                  else jnp.zeros(B, bool)),
             iters=jnp.zeros(B, jnp.int32),
             it=jnp.zeros((), jnp.int32),
         )

@@ -185,8 +185,15 @@ def _node_degree_counts(L_p, num_var: int, chk_deg: int) -> np.ndarray:
     bumps = (-sockets) % chk_deg
     if bumps > counts[2]:
         raise ValueError("cannot fix socket parity with degree bumps")
+    if bumps and counts.size <= 3:
+        # No degree-3 bucket exists: moving bumps 2->2 would leave total
+        # sockets unchanged and the divisibility assert downstream would
+        # fail opaquely. Fail here with the actual cause instead.
+        raise ValueError(
+            "cannot fix socket parity: max variable degree is 2, so there "
+            "is no degree-3 bucket to bump into")
     counts[2] -= bumps
-    counts[3 if counts.size > 3 else 2] += bumps
+    counts[3] += bumps
     return counts
 
 

@@ -170,6 +170,11 @@ class MonteCarloRunner:
         tot = wec = bec = 0
         hist = np.zeros(ITER_HIST_LEN, dtype=np.int64)
         t_start = t_log = time.time()
+        # Throughput is measured from after the first chunk lands (jit
+        # compile + warmup excluded); counting compile time misreported
+        # the first sweep point's words_per_sec by orders of magnitude.
+        t_warm = None
+        tot_warm = 0
 
         def status() -> OrderedDict:
             wer = wec / tot if tot else 0.0
@@ -180,8 +185,12 @@ class MonteCarloRunner:
             if self.track_hist and hist.sum():
                 avg = float(hist @ np.arange(ITER_HIST_LEN) / hist.sum())
                 vals["dec"] = {"average": avg, "iter": hist.tolist()}
-            elapsed = time.time() - t_start
-            vals["words_per_sec"] = float(tot / elapsed) if elapsed > 0 else 0.0
+            if t_warm is not None and tot > tot_warm:
+                wps = (tot - tot_warm) / (time.time() - t_warm)
+            else:
+                elapsed = time.time() - t_start
+                wps = tot / elapsed if elapsed > 0 else 0.0
+            vals["words_per_sec"] = float(wps)
             return vals
 
         def log_status():
@@ -208,11 +217,14 @@ class MonteCarloRunner:
         pending: deque = deque()
 
         def consume():
-            nonlocal tot, wec, bec, hist
+            nonlocal tot, wec, bec, hist, t_warm, tot_warm
             w, b, iters = pending.popleft()
             wec += int(w)
             bec += int(b)
             tot += cfg.batch
+            if t_warm is None:
+                t_warm = time.time()
+                tot_warm = tot
             if self.track_hist:
                 with prof.tag("hist"):
                     hist += np.bincount(

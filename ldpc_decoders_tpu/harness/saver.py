@@ -41,5 +41,10 @@ class Saver:
         self._write(data)
 
     def _write(self, data) -> None:
-        with open(self.file_path, "w") as fp:
+        # Atomic: a kill mid-write must not corrupt the accumulated file
+        # (the reference rewrites in place, utils.py:137-140 — losing the
+        # whole history on a crash; temp+rename keeps "crash-safe" honest).
+        tmp_path = self.file_path + ".tmp"
+        with open(tmp_path, "w") as fp:
             json.dump(data, fp, indent=4)
+        os.replace(tmp_path, self.file_path)

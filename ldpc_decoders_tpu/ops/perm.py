@@ -13,14 +13,22 @@ from __future__ import annotations
 
 import numpy as np
 
-# Budget for the two dense [~E x ~E] permutation matrices: at E=8192
-# that is ~260 MB in bfloat16 and ~520 MB in float32 (the BP default) —
-# comfortable on 16 GB HBM either way; gathers take over beyond it.
+# Budget for the two dense permutation matrices, measured in PADDED slots
+# (n_chk*max_chk_deg / n_var*max_var_deg — what actually sizes the
+# matrices; for irregular codes the padded layout is 2-3x n_edge, so
+# gating on raw edge count would silently pick an oversized matmul route).
+# At 8192 slots the matrices are ~260 MB bf16 / ~520 MB f32 — comfortable
+# on 16 GB HBM; gathers take over beyond it.
 MATMUL_PERM_MAX_EDGES = 8192
 
 
+def padded_slots(graph) -> int:
+    return max(graph.n_chk * graph.max_chk_deg,
+               graph.n_var * graph.max_var_deg)
+
+
 def use_matmul(graph) -> bool:
-    return graph.n_edge <= MATMUL_PERM_MAX_EDGES
+    return padded_slots(graph) <= MATMUL_PERM_MAX_EDGES
 
 
 def perm_chk_to_var(graph) -> np.ndarray:

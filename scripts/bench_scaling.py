@@ -41,7 +41,6 @@ def main() -> None:
     code_name = "bench_1200_3_6"
     # Register the flagship parity matrix under a temp name for the runner.
     code_mod.BUILTIN_CODES[code_name] = (None, code.parity_mtx)
-    code_mod._get_code_cached.cache_clear()
 
     n_dev = len(jax.devices())
     results = {}

@@ -134,7 +134,6 @@ def test_margulis_loads_and_decodes(monkeypatch):
     if not os.path.isdir(REF_CODES_DIR):
         pytest.skip("no reference data")
     monkeypatch.setenv("FILE_CODES_DIR", REF_CODES_DIR)
-    codes.code._get_code_cached.cache_clear()
     c = codes.get_code("margulis")
     assert c.parity_mtx.shape == (1320, 2640)
     import jax.numpy as jnp

@@ -61,8 +61,7 @@ def test_gen_rand_irg_ldpc_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setenv("FILE_CODES_DIR", str(tmp_path))
     names = gen_rand_irg_ldpc(2, 600, 5, 0.5, seed=1, dir_path=str(tmp_path))
     assert names == ["600_rho_x5_rand_ldpc_1", "600_rho_x5_rand_ldpc_2"]
-    from ldpc_decoders_tpu.codes.code import get_code, _get_code_cached
-    _get_code_cached.cache_clear()
+    from ldpc_decoders_tpu.codes.code import get_code
     code = get_code(names[0])
     assert code.get_n() == 600
     # The sampled code must actually decode on the BEC below threshold.
