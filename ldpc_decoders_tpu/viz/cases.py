@@ -44,24 +44,108 @@ def MAR(common):
              common, f"MAR__{chl.upper()}")
 
 
+# Saver file names end with ...-<min_wec>-<max_iter>.json, so the token
+# "10.json" selects max-iter-10 runs (the reference's "10.json" filter,
+# plot_results.py:47, against its own naming). No leading dash: argparse
+# nargs="+" would treat it as a flag; other iteration caps (1/40/100)
+# can't false-match since their tails are "-1.json"/"-40.json"/"-100.json".
+_MI10 = "10.json"
+
+# Per-(channel, decoder) axis limits, copied from the reference's
+# presentation constants (plot_results.py:63-72) — keys: ensemble /
+# compare / max_iter plots.
+_REG_LIMS = {
+    ("bsc", "MSA"): (["--xlim", "0.02", "0.08", "--ylim", "6e-6", ".2"],
+                     ["--xlim", "0.015", "0.08"], []),
+    ("biawgn", "MSA"): (["--xlim", ".5", "3", "--ylim", "3e-5", ".2"],
+                        ["--xlim", ".5", "3", "--ylim", "3e-5", ".2"],
+                        ["--xlim", ".5", "3", "--ylim", "4e-4", ".2"]),
+    ("bec", "SPA"): (["--xlim", ".3", ".5", "--ylim", "2e-7", ".5"],
+                     ["--xlim", ".3", ".5", "--ylim", "3e-5", ".5"], []),
+    ("bsc", "SPA"): ([], [], []),
+    ("biawgn", "SPA"): (["--xlim", ".5", "3"], ["--xlim", ".5", "3"],
+                        ["--xlim", ".5", "3", "--ylim", "3e-5", ".2"]),
+}
+
+
+def _ens_plot(common, case, ens, chl, dec, lims):
+    _run(["--and", f"{chl}-{ens}", dec, _MI10, "--type", "ensemble",
+          "--title", f"{chl.upper()}, {dec} decoder, {ens} ensemble"]
+         + lims, common, f"{case}__{chl}_{dec}_ensemble")
+
+
 @reg_case
 def REG_ENS(common):
-    """Ensemble curves + average for the random (1200,3,6) family
-    (reference plot_results.py REG_ENS case)."""
-    ens = "1200_3_6_rand_ldpc"
-    for chl, dec in (("bec", "SPA"), ("bsc", "MSA"), ("biawgn", "MSA")):
-        _run(["--and", f"{chl}-{ens}", dec, "--type", "ensemble",
-              "--title", f"{chl.upper()}, {dec} decoder, {ens} ensemble"],
-             common, f"REG_ENS__{chl}_{dec}_ensemble")
+    """Random (1200,3,6) family: ensemble curves + average, ensemble-vs-
+    named-code comparison, iteration-cap effect, SPA-vs-MSA averages
+    (reference plot_results.py:50-77)."""
+    ens, code = "1200_3_6_rand_ldpc", "1200_3_6_ldpc"
+
+    for (chl, dec), (l_en, l_cm, l_mi) in _REG_LIMS.items():
+        CHL = chl.upper()
+        _ens_plot(common, "REG_ENS", ens, chl, dec, l_en)
+        # Ensemble average vs the named code's curve.
+        _run(["--or_", ens, code, "--and", chl, dec, _MI10,
+              "--type", "regex_average",
+              "--group_regex", f"{ens}_[0-9]+-{dec}", "ldpc_rand average",
+              "--title", f"{CHL}, {dec} decoder, {ens} ensemble"] + l_cm,
+             common, f"REG_ENS__{chl}_{dec}_compare")
+        # Effect of the iteration cap (REG_BAD max-iter sweep data).
+        _run(["--and", f"{chl}-{code}", dec, "--title",
+              f"{CHL}, {code}, {dec} decoder, Effect of iterations cap"]
+             + l_mi, common, f"REG_ENS__{chl}_{dec}_max_iter")
+
+    # SPA vs MSA average performance on the named code.
+    for chl, extra in (("bsc", []), ("biawgn", ["--xlim", ".5", "2.75"])):
+        _run(["--and", f"{chl}-{code}", _MI10, "--or_", "SPA", "MSA",
+              "--legend_format", "decoder", "--title",
+              f"{chl.upper()}, {code} ensemble, Average performance"]
+             + extra, common, f"REG_ENS__{chl.upper()}_comp_dec")
 
 
 @reg_case
 def IREG_ENS(common):
+    """Irregular rho=x^5 family: ensemble curves + SPA-vs-MSA group
+    averages (reference plot_results.py:80-96)."""
     ens = "1200_rho_x5_rand_ldpc"
-    for chl, dec in (("bec", "SPA"), ("biawgn", "MSA")):
-        _run(["--and", f"{chl}-{ens}", dec, "--type", "ensemble",
-              "--title", f"{chl.upper()}, {dec} decoder, {ens} ensemble"],
-             common, f"IREG_ENS__{chl}_{dec}_ensemble")
+    for (chl, dec), (l_en, _, _) in _REG_LIMS.items():
+        _ens_plot(common, "IREG_ENS", ens, chl, dec, l_en)
+    for chl, extra in (("bsc", []), ("biawgn", ["--xlim", ".5", "2.75"])):
+        _run(["--and", f"{chl}-{ens}", _MI10, "--or_", "SPA", "MSA",
+              "--type", "regex_average",
+              "--group_regex", f"{ens}_[0-9]+-SPA", "SPA",
+              "--group_regex", f"{ens}_[0-9]+-MSA", "MSA",
+              "--title",
+              f"{chl.upper()}, {ens} ensemble, Average performance"]
+             + extra, common, f"IREG_ENS__{chl.upper()}_comp_dec")
+
+
+@reg_case
+def COMP_REG_IREG(common):
+    """Regular-vs-irregular ensemble-average comparisons
+    (reference plot_results.py:99-122)."""
+    reg, irg = "1200_3_6_rand_ldpc", "1200_rho_x5_rand_ldpc"
+
+    for (chl, dec), (_, l_cm, _) in _REG_LIMS.items():
+        extra = ["--xlim", ".015", "0.08"] if chl == "bsc" else []
+        _run(["--and", chl, dec, "--or_", irg, reg,
+              "--type", "regex_average",
+              "--group_regex", f"{reg}_[0-9]+", reg,
+              "--group_regex", f"{irg}_[0-9]+", irg,
+              "--title", f"{chl.upper()}, {dec} decoder, "
+              "Average performance of ensemble"] + extra,
+             common, f"COMP_REG_IREG__{chl}_{dec}_compare")
+
+    # Decoder-resolved 4-way group comparison.
+    for chl, extra in (("bsc", ["--xlim", ".015", "0.08"]), ("biawgn", [])):
+        _run(["--and", chl, "--or_", irg, reg, "--type", "regex_average",
+              "--group_regex", f"{reg}_[0-9]+-SPA", f"SPA-{reg}",
+              "--group_regex", f"{reg}_[0-9]+-MSA", f"MSA-{reg}",
+              "--group_regex", f"{irg}_[0-9]+-SPA", f"SPA-{irg}",
+              "--group_regex", f"{irg}_[0-9]+-MSA", f"MSA-{irg}",
+              "--title",
+              f"{chl.upper()}, Average performance of ensemble"] + extra,
+             common, f"COMP_REG_IREG__{chl}_comp_dec")
 
 
 def main(argv=None):

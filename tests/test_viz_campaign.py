@@ -123,6 +123,73 @@ def test_plot_cases_registry(tmp_path):
     assert {"HMG__BEC.png", "HMG__BSC.png", "HMG__BIAWGN.png"} <= set(made)
 
 
+@pytest.fixture(scope="module")
+def ensemble_results_dir(tmp_path_factory):
+    """Synthesized Saver-schema files covering the full ensemble plot grid
+    (wiring test: statistics don't matter, file-name token matching does)."""
+    import json
+    d = str(tmp_path_factory.mktemp("ens_results"))
+    rng = np.random.default_rng(0)
+    codes = (["1200_3_6_ldpc"]
+             + [f"1200_3_6_rand_ldpc_{i}" for i in (1, 2)]
+             + [f"1200_rho_x5_rand_ldpc_{i}" for i in (1, 2)])
+    for chl in ("bec", "bsc", "biawgn"):
+        for dec in ("SPA", "MSA"):
+            for code in codes:
+                mis = (10, 1, 40) if code == "1200_3_6_ldpc" else (10,)
+                for mi in mis:
+                    name = f"{chl}-{code}-{dec}-1-100-{mi}.json"
+                    vals = {str(p): float(rng.uniform(1e-4, 1e-1))
+                            for p in (0.05, 0.1)}
+                    data = {"channel": chl, "code": code, "decoder": dec,
+                            "codeword": 1, "min_wec": 100, "max_iter": mi,
+                            "tot": {k: 1000 for k in vals},
+                            "wec": {k: 10 for k in vals},
+                            "wer": vals, "bec": {k: 50 for k in vals},
+                            "ber": vals}
+                    with open(os.path.join(d, name), "w") as f:
+                        json.dump(data, f)
+    return d
+
+
+def test_plot_cases_full_ensemble_grid(ensemble_results_dir, tmp_path):
+    """Every reference plot_results case renders: REG_ENS ensemble/compare/
+    max_iter + comp_dec, IREG_ENS ensemble + comp_dec, COMP_REG_IREG
+    (reference plot_results.py:50-122)."""
+    from ldpc_decoders_tpu.viz import cases
+    plots = str(tmp_path)
+    cases.main(["REG_ENS", "IREG_ENS", "COMP_REG_IREG",
+                "--data_dir", ensemble_results_dir, "--plots_dir", plots])
+    made = set(os.listdir(plots))
+    expected = set()
+    for chl, dec in (("bsc", "MSA"), ("biawgn", "MSA"), ("bec", "SPA"),
+                     ("bsc", "SPA"), ("biawgn", "SPA")):
+        for kind in ("ensemble", "compare", "max_iter"):
+            expected.add(f"REG_ENS__{chl}_{dec}_{kind}.png")
+        expected.add(f"IREG_ENS__{chl}_{dec}_ensemble.png")
+        expected.add(f"COMP_REG_IREG__{chl}_{dec}_compare.png")
+    for chl in ("BSC", "BIAWGN"):
+        expected.add(f"REG_ENS__{chl}_comp_dec.png")
+        expected.add(f"IREG_ENS__{chl}_comp_dec.png")
+        expected.add(f"COMP_REG_IREG__{chl.lower()}_comp_dec.png")
+    missing = expected - made
+    assert not missing, f"cases did not render: {sorted(missing)}"
+
+
+def test_regex_average_golden_data(tmp_path):
+    """regex_average group math against the reference's committed ensemble
+    goldens (reference graph.py:82-96)."""
+    if not os.path.isdir(REF_OUTPUT):
+        pytest.skip("no reference data")
+    args = _args(["--and", "bec", "--or_", "1200_3_6_rand_ldpc_",
+                  "--type", "regex_average",
+                  "--group_regex", "1200_3_6_rand_ldpc_[0-9]+-SPA", "avg",
+                  "--file_name", "regavg"], REF_OUTPUT, str(tmp_path))
+    dl = vg.run(args)
+    assert len(dl) >= 10
+    assert os.path.exists(os.path.join(str(tmp_path), "regavg.png"))
+
+
 def test_profiler_accumulates(caplog):
     import logging
     import time as _t
