@@ -79,6 +79,40 @@ def test_lp_vs_admm_agreement(hamming):
     np.testing.assert_allclose(cost_admm, cost_lp, atol=5e-3)
 
 
+def test_lp_vertex_path_matches_linprog_oracle(hamming):
+    """The Qhull vertex-enumeration fast path equals the per-word scipy
+    solve: identical decisions on continuous gammas (unique optimum a.s.)
+    and identical LP optima on tie-heavy discrete gammas."""
+    dec = LPDecoder(hamming.graph)
+    assert dec.vertices is not None and len(dec.vertices) >= 16
+    # Every codeword is a polytope vertex.
+    for cw in hamming.cb:
+        assert (np.abs(dec.vertices - cw).sum(axis=1) < 1e-9).any()
+
+    rng = np.random.default_rng(2)
+    g_cont = rng.normal(0.0, 3.0, (200, 7))
+    np.testing.assert_array_equal(dec._decode_batch_vertices(g_cont),
+                                  dec._decode_batch_linprog(g_cont))
+
+    c = np.log(0.94 / 0.06)
+    g_disc = rng.choice([-c, c], size=(200, 7))
+    frac = LPDecoder(hamming.graph, allow_pseudo=True)
+    ov = (frac._decode_batch_vertices(g_disc) * g_disc).sum(axis=1)
+    ol = (frac._decode_batch_linprog(g_disc) * g_disc).sum(axis=1)
+    np.testing.assert_allclose(ov, ol, atol=1e-6)
+
+
+def test_lp_linprog_fallback_degree2(tmp_path):
+    """Codes with degree-2 checks (4_2_test) have no strict polytope
+    interior at 0.5; LPDecoder must fall back to linprog and still
+    decode the codebook noiselessly."""
+    code = get_code("4_2_test")
+    dec = LPDecoder(code.graph)
+    assert dec.vertices is None
+    gamma = np.asarray(bsc.llr(jnp.asarray(code.cb), 0.1))
+    np.testing.assert_array_equal(dec.decode_batch(gamma), code.cb)
+
+
 def test_admm_converged_iota_stats(hamming):
     """Iteration counts follow the reference's histogram convention:
     a word already representable converges quickly; counts are >= 0 and

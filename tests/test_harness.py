@@ -106,6 +106,13 @@ def test_runner_lp_host_path():
     # magnitude cap shifted this curve 10 sigma *better* than golden).
     ("bsc-7_4_hamming-MSA-10-1.json", "0.06", "bsc", "MSA", 1),
     ("biawgn-7_4_hamming-SPA-10-1.json", "5.0", "biawgn", "SPA", 1),
+    # LP on all three channels (reference simulations.py:52-61; the BSC
+    # point is the VERDICT anchor: golden WER 3.10e-2 at p=0.01). The
+    # vertex fast path's tie handling was verified to match scipy
+    # interior-point (the reference's method) word-for-word.
+    ("bsc-7_4_hamming-LP-10-1.json", "0.01", "bsc", "LP", 1),
+    ("bec-7_4_hamming-LP-10-1.json", "0.3", "bec", "LP", 1),
+    ("biawgn-7_4_hamming-LP-10-1.json", "5.0", "biawgn", "LP", 1),
 ])
 def test_golden_curve_agreement(golden, param, channel, decoder, cw):
     """Statistical regression against the reference's committed results
