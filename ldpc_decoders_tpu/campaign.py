@@ -88,16 +88,27 @@ def REG_BAD() -> Iterator[RunConfig]:
         yield from def_cases("1200_3_6_ldpc", mi)
 
 
+# Ensemble campaigns: the reference runs these as 10 independent cluster
+# jobs per config (simulations.py:79-85); run_campaign instead routes each
+# config through ONE EnsembleMonteCarloRunner decoding all members in a
+# single compiled program (~members x fewer compiles). The per-member
+# generators below remain the --emit contract and the --no-ensemble path.
+ENSEMBLE_MEMBERS = {
+    "REG_ENS": [f"1200_3_6_rand_ldpc_{i + 1}" for i in range(10)],
+    "IREG_ENS": [f"1200_rho_x5_rand_ldpc_{i + 1}" for i in range(10)],
+}
+
+
 @reg_case
 def REG_ENS() -> Iterator[RunConfig]:
-    for i in range(10):
-        yield from def_cases(f"1200_3_6_rand_ldpc_{i + 1}")
+    for name in ENSEMBLE_MEMBERS["REG_ENS"]:
+        yield from def_cases(name)
 
 
 @reg_case
 def IREG_ENS() -> Iterator[RunConfig]:
-    for i in range(10):
-        yield from def_cases(f"1200_rho_x5_rand_ldpc_{i + 1}")
+    for name in ENSEMBLE_MEMBERS["IREG_ENS"]:
+        yield from def_cases(name)
 
 
 # ----------------------------------------------------------------------
@@ -115,9 +126,23 @@ def to_argv(cfg: RunConfig) -> str:
     return " ".join(parts)
 
 
-def run_campaign(case_names, data_dir=None, mesh=None, overrides=None):
+def run_campaign(case_names, data_dir=None, mesh=None, overrides=None,
+                 use_ensemble=True):
     results = {}
     for name in case_names:
+        if use_ensemble and name in ENSEMBLE_MEMBERS:
+            from ldpc_decoders_tpu.harness.ensemble_runner import (
+                EnsembleMonteCarloRunner,
+            )
+            members = ENSEMBLE_MEMBERS[name]
+            for cfg in def_cases(name):
+                if data_dir:
+                    cfg = dataclasses.replace(cfg, data_dir=data_dir)
+                if overrides:
+                    cfg = dataclasses.replace(cfg, **overrides)
+                runner = EnsembleMonteCarloRunner(cfg, members, mesh=mesh)
+                results[(name, f"ensemble:{to_argv(cfg)}")] = runner.run()
+            continue
         for cfg in all_cases.get(name)():
             if data_dir:
                 cfg = dataclasses.replace(cfg, data_dir=data_dir)
@@ -136,6 +161,8 @@ def main(argv=None):
     p.add_argument("--data_dir", default=None)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--min-wec", dest="min_wec", type=int, default=None)
+    p.add_argument("--no-ensemble", dest="no_ensemble", action="store_true",
+                   help="run ensemble cases per member (reference-style)")
     args = p.parse_args(argv)
 
     if args.emit:
@@ -149,7 +176,8 @@ def main(argv=None):
         overrides["batch"] = args.batch
     if args.min_wec:
         overrides["min_wec"] = args.min_wec
-    run_campaign(args.case, data_dir=args.data_dir, overrides=overrides)
+    run_campaign(args.case, data_dir=args.data_dir, overrides=overrides,
+                 use_ensemble=not args.no_ensemble)
 
 
 if __name__ == "__main__":

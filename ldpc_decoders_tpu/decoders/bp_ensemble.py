@@ -37,6 +37,33 @@ class _EnsState(NamedTuple):
     it: jnp.ndarray
 
 
+def check_member_shapes(graphs):
+    """All member graphs must share (C, V, Dc, Dv) (edge counts may differ:
+    irregular double-edge cancellation drops edges but not padded shapes)."""
+    shapes = {(g.n_chk, g.n_var, g.max_chk_deg, g.max_var_deg)
+              for g in graphs}
+    if len(shapes) != 1:
+        raise ValueError(f"ensemble members differ in shape: {shapes}")
+    return next(iter(shapes))
+
+
+def stack_member_tables(graphs, msg_dtype) -> dict:
+    """One-hot permutation/mask tables for every member, stacked on a
+    leading [G] axis so jax.vmap batches the member dimension."""
+    return {
+        "p_c2v": jnp.asarray(np.stack(
+            [perm_ops.perm_chk_to_var(g) for g in graphs]), msg_dtype),
+        "p_v2c": jnp.asarray(np.stack(
+            [perm_ops.perm_var_to_chk(g) for g in graphs]), msg_dtype),
+        "h_t": jnp.asarray(np.stack(
+            [perm_ops.parity_matrix_t(g) for g in graphs])),
+        "cmask": jnp.asarray(np.stack(
+            [np.asarray(g.chk_mask) for g in graphs])),
+        "vmask": jnp.asarray(np.stack(
+            [np.asarray(g.var_mask) for g in graphs])),
+    }
+
+
 class EnsembleBPDecoder:
     """Batched SPA/MSA over a stacked code ensemble.
 
@@ -55,12 +82,8 @@ class EnsembleBPDecoder:
         # check_init=False mirrors BPDecoder: biAWGN always runs >=1
         # iteration (reference bpa.py:19 initializes x_hat to real y).
         self.check_init = bool(check_init)
-        shapes = {(g.n_chk, g.n_var, g.max_chk_deg, g.max_var_deg)
-                  for g in graphs}
-        if len(shapes) != 1:
-            raise ValueError(f"ensemble members differ in shape: {shapes}")
         (self.n_chk, self.n_var, self.max_chk_deg,
-         self.max_var_deg) = next(iter(shapes))
+         self.max_var_deg) = check_member_shapes(graphs)
         self.n_members = len(graphs)
         self.variant = variant
         self.max_iter = int(max_iter)
@@ -68,20 +91,7 @@ class EnsembleBPDecoder:
         self.msg_dtype = jnp.dtype(msg_dtype)
         self._check_rows = (spa_check_rows if variant == "SPA"
                             else msa_check_rows)
-
-        dt = self.msg_dtype
-        self.tables = {
-            "p_c2v": jnp.asarray(np.stack(
-                [perm_ops.perm_chk_to_var(g) for g in graphs]), dt),
-            "p_v2c": jnp.asarray(np.stack(
-                [perm_ops.perm_var_to_chk(g) for g in graphs]), dt),
-            "h_t": jnp.asarray(np.stack(
-                [perm_ops.parity_matrix_t(g) for g in graphs])),
-            "cmask": jnp.asarray(np.stack(
-                [np.asarray(g.chk_mask) for g in graphs])),
-            "vmask": jnp.asarray(np.stack(
-                [np.asarray(g.var_mask) for g in graphs])),
-        }
+        self.tables = stack_member_tables(graphs, self.msg_dtype)
         self._decode = jax.jit(jax.vmap(self._decode_one))
 
     @property
@@ -156,3 +166,107 @@ class EnsembleBPDecoder:
                 f"expected leading member axis {self.n_members}, "
                 f"got {llr.shape}")
         return self._decode(self.tables, llr)
+
+
+class EnsembleBECSPADecoder:
+    """Ternary-message erasure SPA over a stacked code ensemble.
+
+    Same algorithm and termination semantics as
+    :class:`~ldpc_decoders_tpu.decoders.bec_spa.BECSPADecoder` (reference
+    src/bec.py:70-122: echo / single-unknown parity resolve / stopping-set
+    exit), re-laid-out from per-edge [B, E] vectors into the padded check
+    layout [B, C, Dc] so the member axis vmaps over stacked one-hot
+    permutation matrices — edge counts may differ across members (padded
+    shapes cannot), and the one compilation serves the whole ensemble.
+
+    decode(y [G, B, V] symbols {0,1,2}) -> (x_hat [G, B, V], iters [G, B]).
+    """
+
+    id_keys = ["max_iter"]
+
+    def __init__(self, graphs: Sequence[TannerGraph], max_iter: int = 10,
+                 iter_cap: int = 1000, **_):
+        (self.n_chk, self.n_var, self.max_chk_deg,
+         self.max_var_deg) = check_member_shapes(graphs)
+        self.n_members = len(graphs)
+        self.max_iter = int(max_iter)
+        self.iter_cap = self.max_iter if self.max_iter > 0 else int(iter_cap)
+        # Message values are exact small integers in float32; the one-hot
+        # matmuls are exact at HIGHEST precision.
+        self.tables = stack_member_tables(graphs, jnp.float32)
+        self._decode = jax.jit(jax.vmap(self._decode_one))
+
+    def _decode_one(self, tables: dict, y: jnp.ndarray) -> tuple:
+        from ldpc_decoders_tpu.decoders.bec_spa import (
+            _SIGN_TO_SYM,
+            _SYM_TO_MSG,
+            ERASURE,
+        )
+
+        C, V = self.n_chk, self.n_var
+        Dc, Dv = self.max_chk_deg, self.max_var_deg
+        B = y.shape[0]
+        cmask, vmask = tables["cmask"], tables["vmask"]
+        prec = lax.Precision.HIGHEST
+
+        def var_to_chk(x):      # [B, V, Dv] -> [B, C, Dc]; pads -> 0
+            out = jnp.dot(x.reshape(B, V * Dv), tables["p_v2c"],
+                          precision=prec, preferred_element_type=x.dtype)
+            return out.reshape(B, C, Dc)
+
+        def chk_to_var(x):      # [B, C, Dc] -> [B, V, Dv]; pads -> 0
+            out = jnp.dot(x.reshape(B, C * Dc), tables["p_c2v"],
+                          precision=prec, preferred_element_type=x.dtype)
+            return out.reshape(B, V, Dv)
+
+        priors = _SYM_TO_MSG[y]                                  # [B, V]
+        pri_slots = jnp.where(vmask, priors[:, :, None], 0.0)    # [B, V, Dv]
+
+        state = _EnsState(
+            v2c=var_to_chk(pri_slots),
+            x_hat=y.astype(jnp.int32),
+            done=(y == ERASURE).sum(axis=-1) == 0,
+            iters=jnp.zeros(B, jnp.int32),
+            it=jnp.zeros((), jnp.int32),
+        )
+
+        def body(s):
+            m = s.v2c                                        # pads are 0
+            unknowns = ((m == 0.0) & cmask).sum(axis=-1)     # [B, C]
+            ones = (m > 0.0).sum(axis=-1)
+            parity_msg = (2.0 * (ones % 2) - 1.0)[..., None]
+            known = jnp.abs(m)
+            c2v_slots = jnp.where(
+                unknowns[..., None] == 0, m,
+                jnp.where(unknowns[..., None] == 1,
+                          jnp.where(cmask, (1.0 - known) * parity_msg, 0.0),
+                          0.0))
+            c2v_var = chk_to_var(c2v_slots)                  # [B, V, Dv]
+            marginal = priors + jnp.where(vmask, c2v_var, 0.0).sum(-1)
+            v2c_var = jnp.where(
+                vmask, jnp.sign(marginal[:, :, None] - c2v_var), 0.0)
+            x_new = _SIGN_TO_SYM[jnp.sign(marginal).astype(jnp.int32) + 1]
+
+            active = ~s.done
+            stopped = active & (x_new == s.x_hat).all(axis=-1)
+            x_hat = jnp.where(active[:, None], x_new, s.x_hat)
+            v2c = jnp.where(active[:, None, None], var_to_chk(v2c_var),
+                            s.v2c)
+            iters = s.iters + active.astype(jnp.int32)
+            decoded = (x_hat == ERASURE).sum(axis=-1) == 0
+            return _EnsState(v2c, x_hat, s.done | decoded | stopped,
+                             iters, s.it + 1)
+
+        def cond(s):
+            return (s.it < self.iter_cap) & ~s.done.all()
+
+        final = lax.while_loop(cond, body, state)
+        return final.x_hat, final.iters
+
+    def decode(self, y: jnp.ndarray, key=None) -> tuple:
+        """y [G, B, V] symbols -> (x_hat [G, B, V], iters [G, B])."""
+        if y.shape[0] != self.n_members:
+            raise ValueError(
+                f"expected leading member axis {self.n_members}, "
+                f"got {y.shape}")
+        return self._decode(self.tables, y)

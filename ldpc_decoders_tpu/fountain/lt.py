@@ -51,17 +51,30 @@ def ideal_soliton(k: int) -> np.ndarray:
     return rho
 
 
-def robust_soliton(k: int, c: float, delta: float) -> np.ndarray:
-    """Normalized rho + tau with spike at ceil(k/R), R = c*sqrt(k)*ln(k/d)."""
-    rho = ideal_soliton(k)
+def robust_tau(k: int, c: float, delta: float) -> np.ndarray:
+    """The robust-soliton boost term with its spike at ceil(k/R),
+    R = c*sqrt(k)*ln(k/delta) (reference luby.py:99-106)."""
     tau = np.zeros(k)
     R = c * np.sqrt(k) * np.log(k / delta)
     spike = int(np.ceil(k / R))
     d = np.arange(1, spike - 1 + 1)
     tau[d - 1] = R / (k * d)
     tau[spike - 1] = np.log(R / delta) * R / k
+    return tau
+
+
+def robust_soliton_parts(k: int, c: float, delta: float) -> tuple:
+    """(rho, tau, normalized mu) — the decomposition the reference's
+    soliton bar plot renders (luby.py:117-126, luby_graph.py:34-48)."""
+    rho = ideal_soliton(k)
+    tau = robust_tau(k, c, delta)
     mu = rho + tau
-    return mu / mu.sum()
+    return rho, tau, mu / mu.sum()
+
+
+def robust_soliton(k: int, c: float, delta: float) -> np.ndarray:
+    """Normalized rho + tau with spike at ceil(k/R), R = c*sqrt(k)*ln(k/d)."""
+    return robust_soliton_parts(k, c, delta)[2]
 
 
 # ----------------------------------------------------------------------

@@ -53,6 +53,36 @@ def plot_soliton(rho, tau, mu, c, cut, agg=False, out=None):
         plt.show()
 
 
+def plot_avg_deg(ll_c, avg_deg, agg=False, out=None):
+    """Average generator degree as a function of the soliton c parameter
+    (reference luby.py:109-114, luby_graph.py:28-30)."""
+    plt = _plt(agg)
+    plt.figure()
+    plt.plot(ll_c, avg_deg)
+    if out:
+        plt.savefig(out, dpi=120)
+    else:
+        plt.show()
+
+
+def soliton_case(k, c, delta, cut=103, agg=False, out=None):
+    """Render the rho/tau/mu decomposition bars for one (k, c, delta)
+    (the reference's get_soliton(plot=True) path, luby.py:117-126)."""
+    from ldpc_decoders_tpu.fountain.lt import robust_soliton_parts
+
+    rho, tau, mu = robust_soliton_parts(k, c, delta)
+    plot_soliton(rho, tau, mu, c, cut, agg=agg, out=out)
+
+
+def avg_deg_case(k, delta, agg=False, out=None):
+    from ldpc_decoders_tpu.fountain.lt import robust_soliton
+
+    avg = lambda dst: dst @ np.arange(1, len(dst) + 1)  # noqa: E731
+    ll = np.linspace(.01, .1, 50)
+    plot_avg_deg(ll, [avg(robust_soliton(k, c, delta)) for c in ll],
+                 agg=agg, out=out)
+
+
 def plot_files(data_dir, cs, agg=False, plots_dir=None):
     outs = []
     for file_name in get_data_file_list(data_dir):
@@ -69,13 +99,37 @@ def plot_files(data_dir, cs, agg=False, plots_dir=None):
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser(description="LT result histograms")
-    p.add_argument("c", nargs="+", type=float)
-    p.add_argument("--data_dir", default="data")
-    p.add_argument("--plots_dir", default=None)
-    p.add_argument("--agg", action="store_true")
+    p = argparse.ArgumentParser(description="LT plots")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    ph = sub.add_parser("hist", help="symbol-count histograms")
+    ph.add_argument("c", nargs="+", type=float)
+    ph.add_argument("--data_dir", default="data")
+    ph.add_argument("--plots_dir", default=None)
+    ph.add_argument("--agg", action="store_true")
+
+    ps = sub.add_parser("soliton", help="rho/tau/mu decomposition bars")
+    ps.add_argument("k", type=int)
+    ps.add_argument("c", type=float)
+    ps.add_argument("delta", type=float)
+    ps.add_argument("--cut", type=int, default=103)
+    ps.add_argument("--agg", action="store_true")
+    ps.add_argument("--out", default=None)
+
+    pa = sub.add_parser("avg_deg", help="average degree vs c")
+    pa.add_argument("k", type=int)
+    pa.add_argument("delta", type=float)
+    pa.add_argument("--agg", action="store_true")
+    pa.add_argument("--out", default=None)
+
     args = p.parse_args(argv)
-    plot_files(args.data_dir, args.c, args.agg, args.plots_dir)
+    if args.mode == "hist":
+        plot_files(args.data_dir, args.c, args.agg, args.plots_dir)
+    elif args.mode == "soliton":
+        soliton_case(args.k, args.c, args.delta, args.cut,
+                     agg=args.agg, out=args.out)
+    else:
+        avg_deg_case(args.k, args.delta, agg=args.agg, out=args.out)
 
 
 if __name__ == "__main__":

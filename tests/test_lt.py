@@ -86,3 +86,71 @@ def test_statistics_plausible():
     rng = np.random.default_rng(4)
     res, _, _ = sim.run(rng, 64)
     assert k <= res.min() and res.mean() < 1.6 * k, (res.mean(), res.max())
+
+
+def test_soliton_decomposition_normalization():
+    """rho/tau/mu decomposition (reference luby.py:91-126): mu is the
+    normalized sum, tau has its spike at ceil(k/R)."""
+    from ldpc_decoders_tpu.fountain.lt import (
+        ideal_soliton,
+        robust_soliton_parts,
+        robust_tau,
+    )
+    k, c, delta = 10000, 0.01, 0.5
+    rho, tau, mu = robust_soliton_parts(k, c, delta)
+    np.testing.assert_allclose(mu.sum(), 1.0, atol=1e-12)
+    np.testing.assert_allclose(rho, ideal_soliton(k))
+    np.testing.assert_allclose(tau, robust_tau(k, c, delta))
+    np.testing.assert_allclose(mu, (rho + tau) / (rho + tau).sum())
+    R = c * np.sqrt(k) * np.log(k / delta)
+    spike = int(np.ceil(k / R))
+    assert tau[spike - 1] > tau[spike - 2] > 0
+    assert (tau[spike:] == 0).all()
+
+
+def test_soliton_and_avg_deg_plots(tmp_path):
+    """The decomposition renders through the luby_graph CLI (reference
+    luby_graph.py:34-48 plot_soliton, :28-30 plot_avg_deg)."""
+    import os
+
+    from ldpc_decoders_tpu.viz import luby_graph
+    s_out = str(tmp_path / "soliton.png")
+    luby_graph.main(["soliton", "1000", "0.03", "0.5", "--agg",
+                     "--out", s_out])
+    a_out = str(tmp_path / "avg_deg.png")
+    luby_graph.main(["avg_deg", "500", "0.5", "--agg", "--out", a_out])
+    assert os.path.exists(s_out) and os.path.exists(a_out)
+
+
+@pytest.mark.slow
+def test_lt_golden_scale_regression():
+    """MacKay Fig 50.4 repro at the reference's headline scale: 500+ sims
+    at k=10000/n=12000/c=0.01/delta=0.5 vs the committed golden
+    (reference luby.py:153-180; data/output/luby-10000-12000-0.01-0.5.json:
+    mean 10606.4, sigma 425.2 over 2750 sims).
+
+    The artifact is produced by
+    ``python -m ldpc_decoders_tpu.fountain.lt 10000 12000 0.01 0.5 500``
+    (CPU backend; ~90 min) and committed under artifacts/data."""
+    import json
+    import math
+    import os
+
+    ours_path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                             "data", "luby-10000-12000-0.01-0.5.json")
+    ref_path = "/root/reference/data/output/luby-10000-12000-0.01-0.5.json"
+    if not os.path.exists(ours_path):
+        pytest.skip("golden-scale LT artifact not generated")
+    ours = np.array(json.load(open(ours_path))["arr"], float)
+    assert ours.size >= 500, "need >= 500 sims for the regression"
+    if os.path.exists(ref_path):
+        ref = np.array(json.load(open(ref_path))["arr"], float)
+        m_ref, s_ref, n_ref = ref.mean(), ref.std(), ref.size
+    else:
+        m_ref, s_ref, n_ref = 10606.4, 425.2, 2750
+    se = math.sqrt(s_ref ** 2 / n_ref + ours.std() ** 2 / ours.size)
+    assert abs(ours.mean() - m_ref) < 4 * se, (ours.mean(), m_ref, se)
+    # Spread agrees too: sigma of a sample sigma is ~ s/sqrt(2n).
+    se_s = math.sqrt(s_ref ** 2 / (2 * n_ref) + ours.std() ** 2
+                     / (2 * ours.size))
+    assert abs(ours.std() - s_ref) < 4 * se_s, (ours.std(), s_ref, se_s)
