@@ -104,8 +104,12 @@ class MonteCarloRunner:
         self.id_vals = [cfg_vars[k] for k in id_keys]
         self.id_keys = id_keys
         self.log = logging.getLogger(".".join(str(v) for v in self.id_vals))
+        # Multi-host: tallies are globally psum-reduced, so every process
+        # sees identical results — host 0 is the single Saver writer
+        # (replaces the reference's per-Slurm-task JSON files merged on a
+        # shared filesystem, run_sims.sh:15-25).
         self.saver = (Saver(cfg.data_dir, list(zip(id_keys, self.id_vals)))
-                      if cfg.data_dir else None)
+                      if cfg.data_dir and jax.process_index() == 0 else None)
 
         if mesh is not None:
             if cfg.batch % mesh.devices.size:
@@ -143,11 +147,20 @@ class MonteCarloRunner:
 
     def _build_sharded_chunk(self, mesh):
         local = self.cfg.batch // mesh.devices.size
+        track_hist = self.track_hist
 
         def per_device(key, i, param):
             dev_key = jax.random.fold_in(key, jax.lax.axis_index("batch"))
             wec, bec, iters = self._chunk_body(dev_key, i, param,
                                                batch=local)
+            if track_hist:
+                # Histogram in-graph and psum it: the replicated result is
+                # addressable on every host (a P("batch")-sharded iters is
+                # not under multi-process), and it moves the bincount off
+                # the host tally loop.
+                iters = jax.lax.psum(
+                    jnp.bincount(jnp.clip(iters, 0, ITER_HIST_LEN - 1),
+                                 length=ITER_HIST_LEN), "batch")
             return (jax.lax.psum(wec, "batch"), jax.lax.psum(bec, "batch"),
                     iters)
 
@@ -157,7 +170,7 @@ class MonteCarloRunner:
         sharded = jax.shard_map(
             per_device, mesh=mesh,
             in_specs=(P(), P(), P()),
-            out_specs=(P(), P(), P("batch")),
+            out_specs=(P(), P(), P() if track_hist else P("batch")),
             check_vma=False)
         return jax.jit(sharded)
 
@@ -227,9 +240,12 @@ class MonteCarloRunner:
                 tot_warm = tot
             if self.track_hist:
                 with prof.tag("hist"):
-                    hist += np.bincount(
-                        np.clip(np.asarray(iters), 0, ITER_HIST_LEN - 1),
-                        minlength=ITER_HIST_LEN)
+                    if self.mesh is not None:  # already binned in-graph
+                        hist += np.asarray(iters, dtype=np.int64)
+                    else:
+                        hist += np.bincount(
+                            np.clip(np.asarray(iters), 0, ITER_HIST_LEN - 1),
+                            minlength=ITER_HIST_LEN)
 
         chunk_i = 0
         while wec < cfg.min_wec:

@@ -13,5 +13,6 @@ Saver.
 from ldpc_decoders_tpu.parallel.mesh import (  # noqa: F401
     batch_mesh,
     initialize_distributed,
+    is_coordinator,
     local_batch,
 )

@@ -32,6 +32,16 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                                process_id=process_id)
 
 
+def is_coordinator() -> bool:
+    """True on the process that owns result files and console logs
+    (the reference's cluster scripts let every Slurm task write its own
+    JSON and merged later, run_sims.sh:15-25; here host 0 is the single
+    writer and tallies are already globally psum-reduced)."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def batch_mesh(n_devices: Optional[int] = None):
     """A 1-D ``batch`` mesh over (up to) all visible devices."""
     import jax
