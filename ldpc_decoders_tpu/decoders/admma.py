@@ -93,6 +93,7 @@ class _State(NamedTuple):
     z: jnp.ndarray
     lam: jnp.ndarray
     done: jnp.ndarray
+    all_done: jnp.ndarray   # scalar: every word (globally, if sharded) done
     updates: jnp.ndarray
     it: jnp.ndarray
     params: list
@@ -156,7 +157,13 @@ class ADMMADecoder:
         g = self.graph
         return g.scatter_chk(rows.reshape(batch, g.n_chk, self.dim))
 
-    def _decode_impl(self, gamma, params, opt_state):
+    def _decode_impl(self, gamma, params, opt_state, axis_name=None):
+        """Pure decode + train step. With ``axis_name`` set (shard_map over
+        a batch mesh) this is synchronous data-parallel training: grads
+        pmean over the axis keep the replicated params/optimizer in
+        lockstep, and the loop runs until every word on every device is
+        done (a collective in the carried flag, so all devices execute the
+        same iteration count and the grad collectives line up)."""
         g = self.graph
         B = gamma.shape[0]
         var_deg = g.var_deg.astype(jnp.float32)
@@ -172,6 +179,8 @@ class ADMMADecoder:
             if self.train:
                 target = exact_rows(rows)
                 grads = jax.grad(loss_fn)(params, rows, target)
+                if axis_name is not None:
+                    grads = lax.pmean(grads, axis_name)
                 upd, opt_state = self.opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, upd)
                 z_rows = target        # decode with the teacher (admm.py:97)
@@ -197,21 +206,27 @@ class ADMMADecoder:
                 & (((s.z - z_new) ** 2).sum(-1) < self.thresh)
             active = ~s.done
             m = active[:, None]
+            done = s.done | (active & close)
+            all_done = done.all()
+            if axis_name is not None:
+                all_done = lax.pmin(all_done.astype(jnp.int32),
+                                    axis_name) == 1
             return _State(
                 x=jnp.where(m, x, s.x), z=jnp.where(m, z_new, s.z),
                 lam=jnp.where(m, lam, s.lam),
-                done=s.done | (active & close),
+                done=done, all_done=all_done,
                 updates=s.updates + active.astype(jnp.int32),
                 it=s.it + 1, params=params, opt_state=opt_state)
 
         def cond(s: _State):
-            return (s.it < self.iter_cap) & ~s.done.all()
+            return (s.it < self.iter_cap) & ~s.all_done
 
         init = _State(
             x=jnp.zeros((B, g.n_var), jnp.float32),
             z=jnp.full((B, g.n_edge), 0.5, jnp.float32),
             lam=jnp.zeros((B, g.n_edge), jnp.float32),
             done=jnp.zeros(B, bool),
+            all_done=jnp.asarray(False),
             updates=jnp.zeros(B, jnp.int32),
             it=jnp.zeros((), jnp.int32),
             params=params, opt_state=opt_state)
@@ -225,18 +240,51 @@ class ADMMADecoder:
     # parameter update is host-side state (see `stateful`), and tracing
     # it would silently discard training and leak tracers into
     # self.params. The runner dispatches stateful decoders eagerly
-    # (self._decode is jitted internally, so the hot loop still compiles).
+    # (self._decode is jitted internally, so the hot loop still compiles)
+    # — OR threads the state functionally through begin_pure()/end_pure()
+    # when sharding over a mesh.
     stateful = True
+
+    # -- functional-state protocol (mesh sharding) ----------------------
+    def get_state(self):
+        return self.params, self.opt_state
+
+    def set_state(self, state) -> None:
+        self.params, self.opt_state = state
+
+    def begin_pure(self, state, axis_name=None) -> None:
+        """Enter pure mode: the next decode() call (typically under an
+        outer trace, e.g. the harness's shard_map'd chunk) consumes
+        ``state`` and leaves the updated state for end_pure() instead of
+        mutating host attributes. Tracing is single-threaded, so the side
+        channel is sound: state flows only through the traced function's
+        arguments and results."""
+        self._pure = [state, axis_name]
+
+    def end_pure(self):
+        state, _ = self._pure
+        self._pure = None
+        return state
+
+    _pure = None
 
     def decode(self, llr: jnp.ndarray, key=None) -> tuple:
         import jax.core
 
+        if self._pure is not None:
+            (params, opt_state), axis_name = self._pure
+            x_hat, iters, params, opt_state = self._decode_impl(
+                llr.astype(jnp.float32), params, opt_state,
+                axis_name=axis_name)
+            self._pure = [(params, opt_state), axis_name]
+            return x_hat, iters
         if isinstance(llr, jax.core.Tracer):
             raise RuntimeError(
                 "ADMMADecoder.decode must not be traced by an outer jit: "
                 "its parameter/optimizer state update is a host-side "
-                "side effect (use the pure _decode, or let the harness "
-                "drive it eagerly via the `stateful` attribute)")
+                "side effect (use begin_pure()/end_pure() to thread the "
+                "state functionally, or let the harness drive it eagerly "
+                "via the `stateful` attribute)")
         x_hat, iters, params, opt_state = self._decode(
             llr.astype(jnp.float32), self.params, self.opt_state)
         if self.train:

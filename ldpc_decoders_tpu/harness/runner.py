@@ -114,10 +114,13 @@ class MonteCarloRunner:
         if mesh is not None:
             if cfg.batch % mesh.devices.size:
                 raise ValueError("batch must divide evenly over the mesh")
-            if self.stateful:
-                raise ValueError("stateful decoders (ADMMA train mode) do "
-                                 "not support mesh sharding yet")
             self._chunk = self._build_sharded_chunk(mesh)
+            if self.stateful:
+                # Functional state threading: replicated params ride the
+                # chunk as an argument; grads pmean inside the decoder
+                # keep every device's copy identical (synchronous
+                # data-parallel training over the global batch).
+                self._dec_state = self.dec.dec.get_state()
         elif self.stateful:
             self._chunk = self._chunk_body  # eager; decoder jits inside
         else:
@@ -148,11 +151,15 @@ class MonteCarloRunner:
     def _build_sharded_chunk(self, mesh):
         local = self.cfg.batch // mesh.devices.size
         track_hist = self.track_hist
+        stateful = self.stateful
 
-        def per_device(key, i, param):
+        def per_device(key, i, param, *state):
             dev_key = jax.random.fold_in(key, jax.lax.axis_index("batch"))
+            if stateful:
+                self.dec.dec.begin_pure(state[0], axis_name="batch")
             wec, bec, iters = self._chunk_body(dev_key, i, param,
                                                batch=local)
+            out_state = (self.dec.dec.end_pure(),) if stateful else ()
             if track_hist:
                 # Histogram in-graph and psum it: the replicated result is
                 # addressable on every host (a P("batch")-sharded iters is
@@ -162,15 +169,17 @@ class MonteCarloRunner:
                     jnp.bincount(jnp.clip(iters, 0, ITER_HIST_LEN - 1),
                                  length=ITER_HIST_LEN), "batch")
             return (jax.lax.psum(wec, "batch"), jax.lax.psum(bec, "batch"),
-                    iters)
+                    iters) + out_state
 
+        state_specs = (P(),) if stateful else ()
         # check_vma=False: decode loops carry constants (iteration counters)
         # that jax's varying-axis checker would otherwise reject; every
         # cross-device value we consume is explicitly psum-reduced.
         sharded = jax.shard_map(
             per_device, mesh=mesh,
-            in_specs=(P(), P(), P()),
-            out_specs=(P(), P(), P() if track_hist else P("batch")),
+            in_specs=(P(), P(), P()) + state_specs,
+            out_specs=(P(), P(), P() if track_hist else P("batch"))
+            + state_specs,
             check_vma=False)
         return jax.jit(sharded)
 
@@ -216,6 +225,13 @@ class MonteCarloRunner:
 
         if self.host_only:
             decode_chunk = self._host_chunk
+        elif self.stateful and self.mesh is not None:
+            # Thread the replicated decoder state chunk-to-chunk; the
+            # dependency chains dispatches but they stay asynchronous.
+            def decode_chunk(i):
+                w, b, iters, self._dec_state = self._chunk(
+                    param_key, i, param, self._dec_state)
+                return w, b, iters
         else:
             # Returns device arrays: dispatch is asynchronous, the sync
             # happens in consume() pipeline-depth slots later.
@@ -268,6 +284,11 @@ class MonteCarloRunner:
         # reference main.py:37 samples until the target is crossed).
         while pending:
             consume()
+
+        if self.stateful and self.mesh is not None:
+            # Land the trained (replicated) params back on the decoder so
+            # save()/later sweep points see them.
+            self.dec.dec.set_state(self._dec_state)
 
         log_status()
         return status()
