@@ -135,3 +135,34 @@ def test_admm_allow_pseudo_fractional(hamming):
     x_hat = np.asarray(x_hat)
     assert x_hat.dtype.kind == "f"
     assert ((x_hat >= 0) & (x_hat <= 1)).all()
+
+
+def test_find_pcws_tool(hamming):
+    """Pseudo-codeword search (reference bsc.py:101-114 test_find_pcws):
+    jittered LLRs around y=[0,1,0,1,1,0,1] (one flip from the codeword
+    [0,1,0,0,1,0,1]) must surface fractional pseudo-codewords of the
+    fundamental polytope, batched in one decode instead of 1000 scipy
+    solves."""
+    from ldpc_decoders_tpu.decoders.pcw import find_pcws
+
+    x = np.array([0, 1, 0, 0, 1, 0, 1])
+    y = np.array([0, 1, 0, 1, 1, 0, 1])
+    lp_pcws = find_pcws(hamming, y, decoder="LP", tries=256, seed=0,
+                        exclude=x[None, :])
+    assert lp_pcws.shape[0] >= 1
+    frac = (lp_pcws > 1e-3) & (lp_pcws < 1 - 1e-3)
+    assert frac.any(), "expected fractional pseudo-codeword coordinates"
+    # Every returned point lies in the fundamental polytope: check-local
+    # LP constraints hold (within tolerance).
+    dec = LPDecoder(hamming.graph, allow_pseudo=True)
+    for z in lp_pcws:
+        assert (dec.a_ub @ z <= dec.b_ub + 1e-6).all()
+        assert (z >= -1e-9).all() and (z <= 1 + 1e-9).all()
+    # Mutual distinctness under the reference's tol.
+    for i in range(len(lp_pcws)):
+        for j in range(i + 1, len(lp_pcws)):
+            assert np.max(np.abs(lp_pcws[i] - lp_pcws[j])) > 1e-3
+
+    admm_pcws = find_pcws(hamming, y, decoder="ADMM", tries=256, seed=0,
+                          exclude=x[None, :])
+    assert admm_pcws.shape[0] >= 1
