@@ -98,6 +98,13 @@ ENSEMBLE_MEMBERS = {
     "IREG_ENS": [f"1200_rho_x5_rand_ldpc_{i + 1}" for i in range(10)],
 }
 
+# REG_BAD's iteration-cap grid (reference simulations.py:74-77) likewise
+# collapses: CapSweepRunner tallies every cap from one decode pass, so
+# the 8-cap x 5-sweep grid costs 5 compilations, not 40 jobs.
+CAP_SWEEP_CASES = {
+    "REG_BAD": ("1200_3_6_ldpc", [0, 1, 2, 3, 6, 10, 40, 100]),
+}
+
 
 @reg_case
 def REG_ENS() -> Iterator[RunConfig]:
@@ -136,12 +143,30 @@ def run_campaign(case_names, data_dir=None, mesh=None, overrides=None,
             )
             members = ENSEMBLE_MEMBERS[name]
             for cfg in def_cases(name):
+                # G=10 members decode at once: per-member batch 1024 keeps
+                # the stacked tables + message buffers inside one chip's
+                # HBM (override with --batch).
+                cfg = dataclasses.replace(cfg, batch=1024)
                 if data_dir:
                     cfg = dataclasses.replace(cfg, data_dir=data_dir)
                 if overrides:
                     cfg = dataclasses.replace(cfg, **overrides)
                 runner = EnsembleMonteCarloRunner(cfg, members, mesh=mesh)
                 results[(name, f"ensemble:{to_argv(cfg)}")] = runner.run()
+            continue
+        if use_ensemble and name in CAP_SWEEP_CASES:
+            from ldpc_decoders_tpu.harness.cap_sweep import CapSweepRunner
+            code, caps = CAP_SWEEP_CASES[name]
+            for cfg in def_cases(code):
+                # Long mi=0 convergence chains: a smaller batch keeps each
+                # device call bounded (TPU watchdog) at equal throughput.
+                cfg = dataclasses.replace(cfg, batch=2048)
+                if data_dir:
+                    cfg = dataclasses.replace(cfg, data_dir=data_dir)
+                if overrides:
+                    cfg = dataclasses.replace(cfg, **overrides)
+                runner = CapSweepRunner(cfg, caps)
+                results[(name, f"caps:{to_argv(cfg)}")] = runner.run()
             continue
         for cfg in all_cases.get(name)():
             if data_dir:
@@ -154,6 +179,8 @@ def run_campaign(case_names, data_dir=None, mesh=None, overrides=None,
 
 
 def main(argv=None):
+    import logging
+
     p = argparse.ArgumentParser(description="run experiment campaigns")
     p.add_argument("case", nargs="+", choices=all_cases.keys())
     p.add_argument("--emit", action="store_true",
@@ -164,6 +191,7 @@ def main(argv=None):
     p.add_argument("--no-ensemble", dest="no_ensemble", action="store_true",
                    help="run ensemble cases per member (reference-style)")
     args = p.parse_args(argv)
+    logging.basicConfig(format="%(name)s|%(message)s", level=logging.INFO)
 
     if args.emit:
         for name in args.case:

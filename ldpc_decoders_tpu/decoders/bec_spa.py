@@ -104,3 +104,62 @@ class BECSPADecoder:
 
         final = lax.while_loop(cond, body, state)
         return final.x_hat, final.iters
+
+    def decode_multi_cap(self, y: jnp.ndarray, caps, key=None) -> tuple:
+        """One pass, hard decisions snapshotted at every iteration cap —
+        same single-trajectory argument as
+        :meth:`~ldpc_decoders_tpu.decoders.bp.BPDecoder.decode_multi_cap`
+        (erasure peeling also freezes each word once decoded or caught in
+        a stopping set). Returns (x_hats [K, B, V], iters [K, B])."""
+        caps = tuple(int(c) for c in caps)
+        assert list(caps) == sorted(caps) and caps[0] >= 1
+        graph = self.graph
+        B = y.shape[0]
+        caps_arr = jnp.asarray(caps, jnp.int32)
+        priors = _SYM_TO_MSG[y]
+        x0 = y.astype(jnp.int32)
+        snap0 = jnp.broadcast_to(x0[None], (len(caps),) + x0.shape)
+        state = (_State(
+            v2c=graph.expand_var(priors),
+            x_hat=x0,
+            done=(y == ERASURE).sum(axis=-1) == 0,
+            iters=jnp.zeros(B, dtype=jnp.int32),
+            it=jnp.zeros((), dtype=jnp.int32)), snap0)
+
+        def body(ss):
+            s, snap = ss
+            m = graph.gather_chk(s.v2c, fill=-1.0)
+            unknowns = (m == 0.0).sum(axis=-1)
+            ones = (m > 0.0).sum(axis=-1)
+            parity_msg = (2.0 * (ones % 2) - 1.0)[..., None]
+            known = jnp.abs(m)
+            c2v_slots = jnp.where(
+                unknowns[..., None] == 0, m,
+                jnp.where(unknowns[..., None] == 1,
+                          (1.0 - known) * parity_msg,
+                          0.0))
+            c2v = graph.scatter_chk(c2v_slots)
+            marginal = priors + graph.sum_per_var(c2v)
+            v2c_new = jnp.sign(graph.expand_var(marginal) - c2v)
+            x_new = _SIGN_TO_SYM[jnp.sign(marginal).astype(jnp.int32) + 1]
+
+            active = ~s.done
+            stopped = active & (x_new == s.x_hat).all(axis=-1)
+            x_hat = jnp.where(active[:, None], x_new, s.x_hat)
+            v2c = jnp.where(active[:, None], v2c_new, s.v2c)
+            iters = s.iters + active.astype(jnp.int32)
+            decoded = (x_hat == ERASURE).sum(axis=-1) == 0
+            done = s.done | decoded | stopped
+            hit = caps_arr == (s.it + 1)
+            snap = jnp.where(hit[:, None, None], x_hat[None], snap)
+            return _State(v2c, x_hat, done, iters, s.it + 1), snap
+
+        def cond(ss):
+            s, _ = ss
+            return (s.it < caps[-1]) & ~s.done.all()
+
+        final, snap = lax.while_loop(cond, body, state)
+        snap = jnp.where((caps_arr > final.it)[:, None, None],
+                         final.x_hat[None], snap)
+        iters_k = jnp.minimum(final.iters[None], caps_arr[:, None])
+        return snap, iters_k

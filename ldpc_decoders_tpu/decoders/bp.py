@@ -240,3 +240,67 @@ class BPDecoder:
 
         final = lax.while_loop(cond, body, state)
         return final.x_hat, final.iters
+
+    def decode_multi_cap(self, llr: jnp.ndarray, caps, key=None) -> tuple:
+        """One decode pass, results AT EVERY iteration cap in ``caps``.
+
+        The reference studies the iteration-cap effect by re-running the
+        whole Monte-Carlo per cap (simulations.py:74-77 REG_BAD: 8 caps x
+        5 sweeps as separate jobs). But a BP word's trajectory does not
+        depend on the cap — hard decisions freeze once the syndrome
+        passes and evolve identically otherwise — so ONE pass bounded by
+        max(caps) can snapshot the running decisions at each cap:
+        ``x_hats[k]`` is bit-exactly ``decode`` with ``iter_cap=caps[k]``
+        and ``iters[k] = min(iters, caps[k])``.
+
+        ``caps``: static ascending sequence of positive ints.
+        Returns (x_hats [K, B, V] int32, iters [K, B] int32).
+        """
+        caps = tuple(int(c) for c in caps)
+        assert list(caps) == sorted(caps) and caps[0] >= 1
+        g = self.graph
+        llr = llr.astype(jnp.float32)
+        B = llr.shape[0]
+        dt = self.msg_dtype
+        cmask, vmask = g.chk_mask, g.var_mask
+        caps_arr = jnp.asarray(caps, jnp.int32)
+
+        x0 = (llr < 0).astype(jnp.int32)
+        done0 = (self._syndrome_ok(x0) if self.check_init
+                 else jnp.zeros(B, bool))
+        pri = jnp.broadcast_to(llr[:, :, None], llr.shape + (g.max_var_deg,))
+        snap0 = jnp.broadcast_to(x0[None], (len(caps),) + x0.shape)
+        state = (BPState(
+            v2c=self._var_to_chk(pri.astype(dt)),
+            x_hat=x0, done=done0,
+            iters=jnp.zeros(B, dtype=jnp.int32),
+            it=jnp.zeros((), dtype=jnp.int32)), snap0)
+
+        def cond(ss):
+            s, _ = ss
+            return (s.it < caps[-1]) & ~s.done.all()
+
+        def body(ss):
+            s, snap = ss
+            c2v = self._check_rows(s.v2c, cmask)
+            c2v_var = self._chk_to_var(c2v).astype(jnp.float32)
+            marginal = llr + jnp.where(vmask, c2v_var, 0.0).sum(-1)
+            v2c_var = (marginal[:, :, None] - c2v_var).astype(dt)
+            v2c_new = self._var_to_chk(v2c_var)
+            x_new = (marginal < 0).astype(jnp.int32)
+
+            active = ~s.done
+            x_hat = jnp.where(active[:, None], x_new, s.x_hat)
+            v2c = jnp.where(active[:, None, None], v2c_new, s.v2c)
+            iters = s.iters + active.astype(jnp.int32)
+            done = s.done | self._syndrome_ok(x_hat)
+            hit = caps_arr == (s.it + 1)                       # [K]
+            snap = jnp.where(hit[:, None, None], x_hat[None], snap)
+            return BPState(v2c, x_hat, done, iters, s.it + 1), snap
+
+        final, snap = lax.while_loop(cond, body, state)
+        # Caps the (early-exited) loop never reached hold the final state.
+        snap = jnp.where((caps_arr > final.it)[:, None, None],
+                         final.x_hat[None], snap)
+        iters_k = jnp.minimum(final.iters[None], caps_arr[:, None])
+        return snap, iters_k

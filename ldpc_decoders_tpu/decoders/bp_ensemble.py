@@ -167,6 +167,15 @@ class EnsembleBPDecoder:
                 f"got {llr.shape}")
         return self._decode(self.tables, llr)
 
+    def decode_tables(self, tables: dict, llr: jnp.ndarray) -> tuple:
+        """Pure decode over *traced* tables, for callers that wrap this in
+        their own jit (e.g. the ensemble harness chunk). Closing over
+        ``self.tables`` there would bake gigabytes of stacked one-hot
+        matrices into the program as literals — oversized HLO (the remote
+        compile helper rejects it outright); passing them as arguments
+        keeps the program small and the tables resident on device."""
+        return jax.vmap(self._decode_one)(tables, llr)
+
 
 class EnsembleBECSPADecoder:
     """Ternary-message erasure SPA over a stacked code ensemble.
@@ -270,3 +279,8 @@ class EnsembleBECSPADecoder:
                 f"expected leading member axis {self.n_members}, "
                 f"got {y.shape}")
         return self._decode(self.tables, y)
+
+    def decode_tables(self, tables: dict, y: jnp.ndarray) -> tuple:
+        """Pure decode over traced tables (see
+        :meth:`EnsembleBPDecoder.decode_tables`)."""
+        return jax.vmap(self._decode_one)(tables, y)

@@ -96,31 +96,40 @@ class EnsembleMonteCarloRunner:
             self._chunk = jax.jit(self._chunk_body)
 
     # ------------------------------------------------------------------
-    def _chunk_body(self, key, i, param, batch: Optional[int] = None):
-        """One super-batch over all members: (wec [G], bec [G])."""
+    def _chunk_body(self, key, i, param, tables,
+                    batch: Optional[int] = None):
+        """One super-batch over all members: (wec [G], bec [G]).
+
+        ``tables`` are the decoder's stacked per-member one-hot matrices,
+        passed as a traced ARGUMENT: closing over them would embed ~G x
+        E^2 matrix entries in the compiled program as literals, blowing
+        the HLO past what the TPU compile pipeline accepts (observed as
+        an HTTP 413 from the remote compile helper at G=10, n=1200)."""
         cfg = self.cfg
         batch = batch or cfg.batch
         kc, kd = jax.random.split(jax.random.fold_in(key, i))
         x = jnp.full((self.G, batch, self.n_var), cfg.codeword, jnp.int32)
         y = self.mod.send(kc, x, param)
         if cfg.channel == "bec":
-            x_hat, _ = self.dec.decode(y, kd)
+            x_hat, _ = self.dec.decode_tables(tables, y)
         else:
-            x_hat, _ = self.dec.decode(self.mod.llr(y, param), kd)
+            x_hat, _ = self.dec.decode_tables(tables,
+                                              self.mod.llr(y, param))
         errs = (x_hat != x.astype(x_hat.dtype)).sum(axis=-1)   # [G, B]
         return (errs > 0).sum(axis=-1), errs.sum(axis=-1)
 
     def _build_sharded_chunk(self, mesh):
         local = self.cfg.batch // mesh.devices.size
 
-        def per_device(key, i, param):
+        def per_device(key, i, param, tables):
             dev_key = jax.random.fold_in(key, jax.lax.axis_index("batch"))
-            wec, bec = self._chunk_body(dev_key, i, param, batch=local)
+            wec, bec = self._chunk_body(dev_key, i, param, tables,
+                                        batch=local)
             return (jax.lax.psum(wec, "batch"), jax.lax.psum(bec, "batch"))
 
         sharded = jax.shard_map(
             per_device, mesh=mesh,
-            in_specs=(P(), P(), P()),
+            in_specs=(P(), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False)
         return jax.jit(sharded)
@@ -174,7 +183,8 @@ class EnsembleMonteCarloRunner:
         chunk_i = 0
         while (wec < cfg.min_wec).any():
             chunk_i += 1
-            pending.append(self._chunk(key, chunk_i, param))
+            pending.append(self._chunk(key, chunk_i, param,
+                                       self.dec.tables))
             if len(pending) >= depth:
                 consume()
             if time.time() - t_log > cfg.log_freq:

@@ -1,0 +1,75 @@
+"""Iteration-cap snapshotting: decode_multi_cap must be bit-exact with a
+separate decode at each cap (reference REG_BAD, simulations.py:74-77,
+re-runs the Monte-Carlo per cap; one snapshotting pass replaces it)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_decoders_tpu import get_code
+from ldpc_decoders_tpu.channels import bec as bec_mod
+from ldpc_decoders_tpu.channels import bsc as bsc_mod
+from ldpc_decoders_tpu.decoders.bec_spa import BECSPADecoder
+from ldpc_decoders_tpu.decoders.bp import BPDecoder
+from ldpc_decoders_tpu.harness import RunConfig
+from ldpc_decoders_tpu.harness.cap_sweep import CapSweepRunner
+
+CAPS = [1, 2, 3, 6, 10, 40, 100]
+
+
+@pytest.fixture(scope="module")
+def code():
+    return get_code("7_4_hamming")
+
+
+@pytest.mark.parametrize("variant", ["SPA", "MSA"])
+def test_bp_multi_cap_matches_per_cap(code, variant):
+    key = jax.random.PRNGKey(3)
+    x = jnp.ones((512, 7), jnp.int32)
+    y = bsc_mod.send(key, x, 0.12)
+    llr = bsc_mod.llr(y, 0.12)
+
+    dec = BPDecoder(code.graph, variant, max_iter=CAPS[-1])
+    x_hats, iters = dec.decode_multi_cap(llr, CAPS)
+    assert x_hats.shape == (len(CAPS), 512, 7)
+    for k, cap in enumerate(CAPS):
+        ref_dec = BPDecoder(code.graph, variant, max_iter=cap)
+        x_ref, it_ref = ref_dec.decode(llr)
+        np.testing.assert_array_equal(np.asarray(x_hats[k]),
+                                      np.asarray(x_ref), err_msg=f"cap {cap}")
+        np.testing.assert_array_equal(np.asarray(iters[k]),
+                                      np.asarray(it_ref), err_msg=f"cap {cap}")
+
+
+def test_bec_spa_multi_cap_matches_per_cap(code):
+    key = jax.random.PRNGKey(5)
+    x = jnp.ones((512, 7), jnp.int32)
+    y = bec_mod.send(key, x, 0.4)
+
+    dec = BECSPADecoder(code.graph, max_iter=CAPS[-1])
+    x_hats, iters = dec.decode_multi_cap(y, CAPS)
+    for k, cap in enumerate(CAPS):
+        x_ref, it_ref = BECSPADecoder(code.graph, max_iter=cap).decode(y)
+        np.testing.assert_array_equal(np.asarray(x_hats[k]),
+                                      np.asarray(x_ref), err_msg=f"cap {cap}")
+        np.testing.assert_array_equal(np.asarray(iters[k]),
+                                      np.asarray(it_ref), err_msg=f"cap {cap}")
+
+
+def test_cap_sweep_runner_end_to_end(tmp_path):
+    """All caps tallied from one pass; per-cap files named exactly as a
+    per-cap MonteCarloRunner would name them; error counts monotonically
+    non-increasing in the cap (same noise realizations)."""
+    cfg = RunConfig(channel="bsc", code="7_4_hamming", decoder="MSA",
+                    params=[0.08], codeword=1, min_wec=30, batch=256,
+                    data_dir=str(tmp_path), log_freq=1e9, iter_cap=500)
+    caps = [0, 1, 3, 10]
+    res = CapSweepRunner(cfg, caps).run()
+    assert set(res.keys()) == set(caps)
+    wecs = {c: res[c][0.08]["wec"] for c in caps}
+    assert wecs[1] >= wecs[3] >= wecs[10] >= wecs[0]  # 0 = converge
+    for c in caps:
+        f = tmp_path / f"bsc-7_4_hamming-MSA-1-30-{c}.json"
+        assert f.exists(), list(tmp_path.iterdir())
+        assert res[c][0.08]["wec"] >= 30 or res[c][0.08]["tot"] >= 256
