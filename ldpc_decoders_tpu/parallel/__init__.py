@@ -10,6 +10,9 @@ through :func:`initialize_distributed` (DCN) with host 0 owning the
 Saver.
 """
 
+from ldpc_decoders_tpu.parallel.bp_edge_sharded import (  # noqa: F401
+    EdgeShardedBPDecoder,
+)
 from ldpc_decoders_tpu.parallel.mesh import (  # noqa: F401
     batch_mesh,
     initialize_distributed,

@@ -1,0 +1,68 @@
+"""Edge-sharded (model-parallel) BP vs the single-device decoder.
+
+The check slices + one marginal psum per iteration must reproduce the
+single-chip decoder's decisions: same algorithm, summation order differs
+only in float addition grouping, so biAWGN (continuous LLRs, no ties)
+decisions agree exactly with overwhelming probability."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from ldpc_decoders_tpu import get_code
+from ldpc_decoders_tpu.channels import biawgn
+from ldpc_decoders_tpu.decoders.bp import BPDecoder
+from ldpc_decoders_tpu.parallel.bp_edge_sharded import EdgeShardedBPDecoder
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    assert len(devs) >= 8
+    return Mesh(np.array(devs[:8]), ("code",))
+
+
+@pytest.mark.parametrize("variant", ["SPA", "MSA"])
+def test_matches_single_device(mesh, variant):
+    code = get_code("1200_3_6_ldpc")
+    key = jax.random.PRNGKey(11)
+    x = jnp.zeros((64, code.get_n()), jnp.int32)
+    y = biawgn.send(key, x, 1.5)
+    llr = biawgn.llr(y, 1.5)
+
+    sharded = EdgeShardedBPDecoder(code.parity_mtx, mesh, variant,
+                                   max_iter=10, check_init=False)
+    xs, its = sharded.decode(llr)
+    ref = BPDecoder(code.graph, variant, max_iter=10, check_init=False)
+    xr, itr = ref.decode(llr)
+
+    xs, xr = np.asarray(xs), np.asarray(xr)
+    # Identical trajectories up to float-sum grouping: allow at most a
+    # couple of knife-edge words to differ, none in the common case.
+    word_mismatch = (xs != xr).any(axis=1).sum()
+    assert word_mismatch <= 1, f"{word_mismatch} words differ"
+    if word_mismatch == 0:
+        np.testing.assert_array_equal(np.asarray(its), np.asarray(itr))
+    # Errors-per-word must agree as a statistic regardless.
+    err_s = (xs != 0).sum()
+    err_r = (xr != 0).sum()
+    assert abs(err_s - err_r) <= max(5, 0.05 * max(err_s, err_r))
+
+
+def test_uneven_check_split(mesh):
+    """Hamming(7,4): 3 checks over 8 devices — empty and padded slices
+    must be inert."""
+    code = get_code("7_4_hamming")
+    key = jax.random.PRNGKey(2)
+    x = jnp.zeros((128, 7), jnp.int32)
+    y = biawgn.send(key, x, 2.0)
+    llr = biawgn.llr(y, 2.0)
+
+    sharded = EdgeShardedBPDecoder(code.parity_mtx, mesh, "SPA",
+                                   max_iter=10, check_init=False)
+    xs, _ = sharded.decode(llr)
+    xr, _ = BPDecoder(code.graph, "SPA", max_iter=10,
+                      check_init=False).decode(llr)
+    assert (np.asarray(xs) != np.asarray(xr)).any(axis=1).sum() <= 1
