@@ -143,10 +143,17 @@ def run_campaign(case_names, data_dir=None, mesh=None, overrides=None,
             )
             members = ENSEMBLE_MEMBERS[name]
             for cfg in def_cases(name):
-                # G=10 members decode at once: per-member batch 1024 keeps
+                # G=10 members decode at once: per-member batch 2048 keeps
                 # the stacked tables + message buffers inside one chip's
-                # HBM (override with --batch).
-                cfg = dataclasses.replace(cfg, batch=1024)
+                # HBM (override with --batch). BP sweeps run bfloat16
+                # messages — statistically validated against the golden
+                # curves (docs/SCALING.md) and ~6x the f32-HIGHEST matmul
+                # rate; the BEC ensemble's integer messages are exact at
+                # fast precision by construction.
+                cfg = dataclasses.replace(
+                    cfg, batch=2048,
+                    msg_dtype=("float32" if cfg.channel == "bec"
+                               else "bfloat16"))
                 if data_dir:
                     cfg = dataclasses.replace(cfg, data_dir=data_dir)
                 if overrides:

@@ -200,8 +200,6 @@ class EnsembleBECSPADecoder:
         self.n_members = len(graphs)
         self.max_iter = int(max_iter)
         self.iter_cap = self.max_iter if self.max_iter > 0 else int(iter_cap)
-        # Message values are exact small integers in float32; the one-hot
-        # matmuls are exact at HIGHEST precision.
         self.tables = stack_member_tables(graphs, jnp.float32)
         self._decode = jax.jit(jax.vmap(self._decode_one))
 
@@ -216,7 +214,12 @@ class EnsembleBECSPADecoder:
         Dc, Dv = self.max_chk_deg, self.max_var_deg
         B = y.shape[0]
         cmask, vmask = tables["cmask"], tables["vmask"]
-        prec = lax.Precision.HIGHEST
+        # DEFAULT precision (bf16-rounded operands) is EXACT here: every
+        # message/marginal is a small integer (|x| <= Dv+1 << 256, exactly
+        # representable in bfloat16) and the permutation matmuls select
+        # one operand per output — full MXU rate at zero numerical cost
+        # (HIGHEST was measured ~6x slower and changes nothing).
+        prec = lax.Precision.DEFAULT
 
         def var_to_chk(x):      # [B, V, Dv] -> [B, C, Dc]; pads -> 0
             out = jnp.dot(x.reshape(B, V * Dv), tables["p_v2c"],

@@ -1,13 +1,19 @@
 """Bootstrap the in-repo `data/codes/` directory.
 
 Makes every campaign runnable from a bare checkout (no reference-checkout
-dependency): the same 27-file inventory as the reference's data/codes —
-seeded random draws for the regular/irregular ensembles plus the two
-fixed, non-regenerable constructions (vendored once from a reference
-checkout and committed; re-running this script only validates them).
+dependency): the same 27-file inventory as the reference's data/codes.
+The ensemble member files are VENDORED data fixtures (like margulis):
+the reference's committed members are unseeded draws that its committed
+golden results correspond to — e.g. rand_ldpc members 2 and 3 each
+contain exactly one duplicate-neighborhood variable pair (a 2-element
+stopping set), which is what produces their documented BEC WER floors of
+~eps^2; a fresh seeded draw cannot reproduce that member-by-member
+behavior. Seeded generation remains for the 512-length ensemble (no
+goldens reference it) and as the fallback when no reference checkout
+exists to vendor from.
 
-  - 1200_3_6_rand_ldpc_{1..10}   seeded (1200,3,6)-regular draws
-  - 1200_rho_x5_rand_ldpc_{1..10} seeded irregular (rho=x^5, rate .5) draws
+  - 1200_3_6_rand_ldpc_{1..10}   vendored fixtures (golden member curves)
+  - 1200_rho_x5_rand_ldpc_{1..10} vendored fixtures
   - 512_3_6_rand_ldpc_{1..5}     seeded (512,3,6)-regular draws
   - 1200_3_6_ldpc                fixed draw the reference goldens use
   - margulis                     Margulis (2640,1320) construction
@@ -24,7 +30,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VENDORED = ["margulis.txt", "1200_3_6_ldpc.txt"]
+VENDORED = (["margulis.txt", "1200_3_6_ldpc.txt"]
+            + [f"1200_3_6_rand_ldpc_{i}.txt" for i in range(1, 11)]
+            + [f"1200_rho_x5_rand_ldpc_{i}.txt" for i in range(1, 11)])
 REF_CODES = "/root/reference/data/codes"
 
 

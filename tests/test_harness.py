@@ -175,3 +175,40 @@ def test_runner_admma_train_sharded_matches_single(tmp_path):
     # Trained-model checkpointing still works from the mesh-trained state.
     path = runner.dec.dec.save()
     assert os.path.exists(path)
+
+
+def test_reg_ens_member_golden_agreement():
+    """Member-by-member REG_ENS agreement: with the reference's committed
+    ensemble fixtures vendored (data/codes), each member's regenerated
+    BEC SPA curve must match that member's committed golden — including
+    members 2 and 3, whose single duplicate-neighborhood variable pair
+    (a 2-element stopping set) produces a WER floor of ~eps^2 that a
+    correct erasure decoder cannot miss (reference goldens
+    bec-1200_3_6_rand_ldpc_*-SPA-10-0.json)."""
+    art = os.path.join(os.path.dirname(__file__), "..", "artifacts", "data")
+    checked = 0
+    for i in range(1, 11):
+        ours_p = os.path.join(art, f"bec-1200_3_6_rand_ldpc_{i}-SPA-0-100-10.json")
+        ref_p = os.path.join(REF_OUTPUT, f"bec-1200_3_6_rand_ldpc_{i}-SPA-10-0.json")
+        if not (os.path.exists(ours_p) and os.path.exists(ref_p)):
+            continue
+        ours, ref = json.load(open(ours_p)), json.load(open(ref_p))
+        for param in ("0.4", "0.35", "0.32", "0.3"):
+            if param not in ours.get("wer", {}) or param not in ref["wer"]:
+                continue
+            w_o, t_o = ours["wer"][param], ours["tot"][param]
+            w_r, t_r = ref["wer"][param], ref["tot"][param]
+            se = math.sqrt(max(w_o, 1e-12) * (1 - min(w_o, 1)) / t_o
+                           + max(w_r, 1e-12) * (1 - min(w_r, 1)) / t_r)
+            assert abs(w_o - w_r) < 5 * se + 0.01, \
+                (i, param, w_o, w_r, se)
+            checked += 1
+    if not checked:
+        pytest.skip("regenerated member artifacts not present yet")
+    # The bad members' floors specifically: eps^2 at eps=0.3.
+    for i in (2, 3):
+        p = os.path.join(art, f"bec-1200_3_6_rand_ldpc_{i}-SPA-0-100-10.json")
+        if os.path.exists(p):
+            d = json.load(open(p))
+            if "0.3" in d.get("wer", {}):
+                assert 0.05 < d["wer"]["0.3"] < 0.14, d["wer"]["0.3"]
