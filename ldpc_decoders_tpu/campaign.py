@@ -134,10 +134,10 @@ def to_argv(cfg: RunConfig) -> str:
 
 
 def run_campaign(case_names, data_dir=None, mesh=None, overrides=None,
-                 use_ensemble=True):
+                 use_ensemble=True, joint_ensemble=False):
     results = {}
     for name in case_names:
-        if use_ensemble and name in ENSEMBLE_MEMBERS:
+        if use_ensemble and name in ENSEMBLE_MEMBERS and joint_ensemble:
             from ldpc_decoders_tpu.harness.ensemble_runner import (
                 EnsembleMonteCarloRunner,
             )
@@ -160,6 +160,30 @@ def run_campaign(case_names, data_dir=None, mesh=None, overrides=None,
                     cfg = dataclasses.replace(cfg, **overrides)
                 runner = EnsembleMonteCarloRunner(cfg, members, mesh=mesh)
                 results[(name, f"ensemble:{to_argv(cfg)}")] = runner.run()
+            continue
+        if use_ensemble and name in ENSEMBLE_MEMBERS:
+            # Default ensemble route: ONE compiled chunk, members rotated
+            # through it as traced tables (runner.rotate_member). Measured
+            # on the v5e this decodes each member at full single-code rate
+            # (~100k words/s) where the G-stacked joint program ran ~620
+            # words/s aggregate — one compile either way, ~100x the
+            # decode throughput (docs/SCALING.md "Ensemble decode
+            # routes"); --joint-ensemble selects the stacked program.
+            from ldpc_decoders_tpu.harness.runner import (
+                run_rotating_members,
+            )
+            members = ENSEMBLE_MEMBERS[name]
+            for cfg in def_cases(name):
+                cfg = dataclasses.replace(
+                    cfg,
+                    msg_dtype=("float32" if cfg.channel == "bec"
+                               else "bfloat16"))
+                if data_dir:
+                    cfg = dataclasses.replace(cfg, data_dir=data_dir)
+                if overrides:
+                    cfg = dataclasses.replace(cfg, **overrides)
+                results[(name, f"rotating:{to_argv(cfg)}")] = \
+                    run_rotating_members(cfg, members, mesh=mesh)
             continue
         if use_ensemble and name in CAP_SWEEP_CASES:
             from ldpc_decoders_tpu.harness.cap_sweep import CapSweepRunner
@@ -197,6 +221,11 @@ def main(argv=None):
     p.add_argument("--min-wec", dest="min_wec", type=int, default=None)
     p.add_argument("--no-ensemble", dest="no_ensemble", action="store_true",
                    help="run ensemble cases per member (reference-style)")
+    p.add_argument("--joint-ensemble", dest="joint_ensemble",
+                   action="store_true",
+                   help="decode all members in one G-stacked program "
+                        "instead of rotating them through one compiled "
+                        "chunk")
     args = p.parse_args(argv)
     logging.basicConfig(format="%(name)s|%(message)s", level=logging.INFO)
 
@@ -212,7 +241,8 @@ def main(argv=None):
     if args.min_wec:
         overrides["min_wec"] = args.min_wec
     run_campaign(args.case, data_dir=args.data_dir, overrides=overrides,
-                 use_ensemble=not args.no_ensemble)
+                 use_ensemble=not args.no_ensemble,
+                 joint_ensemble=args.joint_ensemble)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,18 @@ class _TernarySPA:
         x_hat, iters = self.dec.decode(y, key)
         return x_hat, {"iters": iters}
 
+    # Member-table passthroughs for the rotating-ensemble harness path.
+    @property
+    def tables(self):
+        return self.dec.tables
+
+    def member_tables(self, graph, **kw):
+        return self.dec.member_tables(graph, **kw)
+
+    def decode_tables(self, t, y, p, key):
+        x_hat, iters = self.dec.decode_tables(t, y, key)
+        return x_hat, {"iters": iters}
+
 
 SPA = _TernarySPA
 MSA = _TernarySPA  # reference aliases MSA = SPA on the BEC (bec.py:125)

@@ -35,6 +35,10 @@ class _AWGNLLRWrapped(_LLRWrapped):
         x_hat, iters = self.dec.decode(llr(y, snr_db), key)
         return x_hat, {"iters": iters}
 
+    def decode_tables(self, t, y, snr_db, key):
+        x_hat, iters = self.dec.decode_tables(t, llr(y, snr_db), key)
+        return x_hat, {"iters": iters}
+
 
 class _AWGNHostLLRWrapped(_HostLLRWrapped):
     def decode(self, y, snr_db, key):

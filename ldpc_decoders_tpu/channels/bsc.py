@@ -36,6 +36,20 @@ class _LLRWrapped:
         x_hat, iters = self.dec.decode(llr(y, p), key)
         return x_hat, {"iters": iters}
 
+    # Member-table passthroughs (present iff the inner decoder supports
+    # them): the harness's rotating-ensemble path feeds another member's
+    # tables as traced arguments through one compiled chunk.
+    @property
+    def tables(self):
+        return self.dec.tables
+
+    def member_tables(self, graph, **kw):
+        return self.dec.member_tables(graph, **kw)
+
+    def decode_tables(self, t, y, p, key):
+        x_hat, iters = self.dec.decode_tables(t, llr(y, p), key)
+        return x_hat, {"iters": iters}
+
 
 def SPA(code, **kw):
     return _LLRWrapped(BPDecoder(code.graph, "SPA", **kw))

@@ -54,12 +54,69 @@ class BECSPADecoder:
         self.graph = graph
         self.max_iter = int(max_iter)
         self.iter_cap = self.max_iter if self.max_iter > 0 else int(iter_cap)
+        self.tables = self.member_tables(graph)
+
+    def member_tables(self, graph: TannerGraph,
+                      n_edge_pad: int = 0) -> dict:
+        """Member-specific index tables as traced-arg material.
+
+        ``n_edge_pad`` >= n_edge pads the edge axis to a common length so
+        ensemble members whose double-edge cancellation dropped different
+        numbers of edges (irregular draws) still share one compiled
+        program: padded "fake" edges are never referenced by any check
+        row or variable column, so their message values are inert."""
+        import numpy as np
+
+        g = graph
+        if (g.n_chk, g.n_var, g.max_chk_deg, g.max_var_deg) != (
+                self.graph.n_chk, self.graph.n_var,
+                self.graph.max_chk_deg, self.graph.max_var_deg):
+            raise ValueError("member graph has different padded shapes")
+        E, Ep = g.n_edge, max(int(n_edge_pad), g.n_edge)
+        chk_edge = np.asarray(g.chk_edge)
+        var_edge = np.asarray(g.var_edge)
+        return {
+            # Sentinel pad slots move from index E to the common Ep.
+            "chk_edge": jnp.asarray(
+                np.where(chk_edge == E, Ep, chk_edge)),
+            "var_edge": jnp.asarray(
+                np.where(var_edge == E, Ep, var_edge)),
+            "edge_var": jnp.asarray(np.pad(np.asarray(g.edge_var),
+                                           (0, Ep - E))),
+            "edge_in_chk": jnp.asarray(np.pad(np.asarray(g.edge_in_chk),
+                                              (0, Ep - E))),
+        }
 
     def decode(self, y: jnp.ndarray, key=None) -> tuple:
-        graph = self.graph
+        return self.decode_tables(self.tables, y, key)
+
+    def decode_tables(self, t: dict, y: jnp.ndarray, key=None) -> tuple:
+        """Pure decode over *traced* member tables (see
+        :meth:`member_tables`). State rides the (possibly padded) edge
+        axis ``Ep = t["edge_var"].shape[-1]``."""
+        g = self.graph
         B = y.shape[0]
+
+        def pad1(m, fill):
+            return jnp.concatenate(
+                [m, jnp.full(m.shape[:-1] + (1,), fill, m.dtype)], axis=-1)
+
+        def gather_chk(m, fill):
+            return jnp.take(pad1(m, fill), t["chk_edge"], axis=-1)
+
+        def scatter_chk(vals):
+            flat = vals.reshape(vals.shape[:-2]
+                                + (g.n_chk * g.max_chk_deg,))
+            return jnp.take(flat, t["edge_in_chk"], axis=-1)
+
+        def sum_per_var(m):
+            return jnp.take(pad1(m, 0.0), t["var_edge"], axis=-1).sum(-1)
+
+        def expand_var(per_var):
+            return jnp.take(per_var, t["edge_var"], axis=-1)
+
         priors = _SYM_TO_MSG[y]                      # [B, V]
-        v2c0 = graph.expand_var(priors)              # [B, E]
+        v2c0 = expand_var(priors)                    # [B, Ep]
 
         state = _State(
             v2c=v2c0,
@@ -73,7 +130,7 @@ class BECSPADecoder:
             # Per-check layout. Pad fill -1: counts as a *known* message
             # that is not positive, so it is neutral both for the unknown
             # count and for the positive-parity count.
-            m = graph.gather_chk(s.v2c, fill=-1.0)   # [B, C, D]
+            m = gather_chk(s.v2c, fill=-1.0)         # [B, C, D]
             unknowns = (m == 0.0).sum(axis=-1)       # [B, C]
             ones = (m > 0.0).sum(axis=-1)            # [B, C]
             parity_msg = (2.0 * (ones % 2) - 1.0)[..., None]  # [B, C, 1]
@@ -84,10 +141,10 @@ class BECSPADecoder:
                 jnp.where(unknowns[..., None] == 1,
                           (1.0 - known) * parity_msg,
                           0.0))
-            c2v = graph.scatter_chk(c2v_slots)
+            c2v = scatter_chk(c2v_slots)
 
-            marginal = priors + graph.sum_per_var(c2v)           # [B, V]
-            v2c_new = jnp.sign(graph.expand_var(marginal) - c2v)  # [B, E]
+            marginal = priors + sum_per_var(c2v)                 # [B, V]
+            v2c_new = jnp.sign(expand_var(marginal) - c2v)       # [B, Ep]
             x_new = _SIGN_TO_SYM[jnp.sign(marginal).astype(jnp.int32) + 1]
 
             active = ~s.done

@@ -145,14 +145,33 @@ class BPDecoder:
         if perm not in ("matmul", "gather"):
             raise ValueError(f"unknown perm mode {perm!r}")
         self.perm = perm
-        if perm == "matmul":
-            self._build_perm_matrices()
+        self.tables = self.member_tables(graph)
 
-    def _build_perm_matrices(self) -> None:
-        g, dt = self.graph, self.msg_dtype
-        self._p_c2v = jnp.asarray(perm_ops.perm_chk_to_var(g), dt)
-        self._p_v2c = jnp.asarray(perm_ops.perm_var_to_chk(g), dt)
-        self._h_t = jnp.asarray(perm_ops.parity_matrix_t(g))  # [V, C]
+    def member_tables(self, graph: TannerGraph,
+                      n_edge_pad: int = 0) -> dict:
+        """Everything member-specific, as device arrays.
+
+        ``decode``/``decode_tables`` consume ONLY these tables plus
+        shape/config attributes, so one compiled program can serve every
+        same-padded-shape code in an ensemble: pass another member's
+        tables as a traced argument and the executable decodes that
+        member (the harness's rotating ensemble path; the reference runs
+        such ensembles as 10 independent cluster jobs,
+        simulations.py:79-85)."""
+        g, dt = graph, self.msg_dtype
+        if (g.n_chk, g.n_var, g.max_chk_deg, g.max_var_deg) != (
+                self.graph.n_chk, self.graph.n_var,
+                self.graph.max_chk_deg, self.graph.max_var_deg):
+            raise ValueError("member graph has different padded shapes")
+        t = {"cmask": g.chk_mask, "vmask": g.var_mask}
+        if self.perm == "matmul":
+            t["p_c2v"] = jnp.asarray(perm_ops.perm_chk_to_var(g), dt)
+            t["p_v2c"] = jnp.asarray(perm_ops.perm_var_to_chk(g), dt)
+            t["h_t"] = jnp.asarray(perm_ops.parity_matrix_t(g))  # [V, C]
+        else:
+            t["vs_from_chk"] = g.var_slot_from_chk
+            t["cs_from_var"] = g.chk_slot_from_var
+        return t
 
     # -- layout conversion, mode-dispatched -----------------------------
     @property
@@ -166,52 +185,69 @@ class BPDecoder:
         return (lax.Precision.HIGHEST if self.msg_dtype == jnp.float32
                 else lax.Precision.DEFAULT)
 
-    def _chk_to_var(self, chk_vals: jnp.ndarray) -> jnp.ndarray:
+    def _slot_perm(self, vals: jnp.ndarray, perm_idx: jnp.ndarray,
+                   out_nodes: int, out_deg: int) -> jnp.ndarray:
+        """Gather-route layout hop through a traced slot permutation."""
+        lead = vals.shape[:-2]
+        flat = vals.reshape(lead + (vals.shape[-2] * vals.shape[-1],))
+        pad = jnp.zeros(lead + (1,), dtype=vals.dtype)
+        flat = jnp.concatenate([flat, pad], axis=-1)
+        out = jnp.take(flat, perm_idx, axis=-1)
+        return out.reshape(lead + (out_nodes, out_deg))
+
+    def _chk_to_var(self, chk_vals: jnp.ndarray, t: dict) -> jnp.ndarray:
         g = self.graph
         if self.perm == "gather":
-            return g.chk_to_var(chk_vals, 0)
+            return self._slot_perm(chk_vals, t["vs_from_chk"],
+                                   g.n_var, g.max_var_deg)
         B = chk_vals.shape[0]
         flat = chk_vals.reshape(B, g.n_chk * g.max_chk_deg)
-        out = jnp.dot(flat, self._p_c2v, precision=self._dot_precision,
+        out = jnp.dot(flat, t["p_c2v"], precision=self._dot_precision,
                       preferred_element_type=chk_vals.dtype)
         return out.reshape(B, g.n_var, g.max_var_deg)
 
-    def _var_to_chk(self, var_vals: jnp.ndarray) -> jnp.ndarray:
+    def _var_to_chk(self, var_vals: jnp.ndarray, t: dict) -> jnp.ndarray:
         g = self.graph
         if self.perm == "gather":
-            return g.var_to_chk(var_vals, 0)
+            return self._slot_perm(var_vals, t["cs_from_var"],
+                                   g.n_chk, g.max_chk_deg)
         B = var_vals.shape[0]
         flat = var_vals.reshape(B, g.n_var * g.max_var_deg)
-        out = jnp.dot(flat, self._p_v2c, precision=self._dot_precision,
+        out = jnp.dot(flat, t["p_v2c"], precision=self._dot_precision,
                       preferred_element_type=var_vals.dtype)
         return out.reshape(B, g.n_chk, g.max_chk_deg)
 
-    def _syndrome_ok(self, x_hat: jnp.ndarray) -> jnp.ndarray:
+    def _syndrome_ok(self, x_hat: jnp.ndarray, t: dict) -> jnp.ndarray:
         """[B, V] bits -> [B] bool."""
         g = self.graph
         if self.perm == "matmul":
-            s = jnp.dot(x_hat.astype(jnp.float32), self._h_t,
+            s = jnp.dot(x_hat.astype(jnp.float32), t["h_t"],
                         preferred_element_type=jnp.float32)
             return (s.astype(jnp.int32) % 2 == 0).all(axis=-1)
         bits = jnp.broadcast_to(
             x_hat[..., None], x_hat.shape + (g.max_var_deg,))
-        per_chk = g.var_to_chk(bits, fill=0)
+        per_chk = self._var_to_chk(bits, t)
         return (per_chk.sum(axis=-1) % 2 == 0).all(axis=-1)
 
     def decode(self, llr: jnp.ndarray, key=None) -> tuple:
+        return self.decode_tables(self.tables, llr, key)
+
+    def decode_tables(self, t: dict, llr: jnp.ndarray, key=None) -> tuple:
+        """Pure decode over *traced* member tables (see
+        :meth:`member_tables`)."""
         g = self.graph
         llr = llr.astype(jnp.float32)
         B = llr.shape[0]
         dt = self.msg_dtype
-        cmask = g.chk_mask
-        vmask = g.var_mask
+        cmask = t["cmask"]
+        vmask = t["vmask"]
 
         x0 = (llr < 0).astype(jnp.int32)
-        done0 = (self._syndrome_ok(x0) if self.check_init
+        done0 = (self._syndrome_ok(x0, t) if self.check_init
                  else jnp.zeros(B, bool))
         # Priors on every edge, in check layout (bpa.py:19).
         pri = jnp.broadcast_to(llr[:, :, None], llr.shape + (g.max_var_deg,))
-        v2c0 = self._var_to_chk(pri.astype(dt))
+        v2c0 = self._var_to_chk(pri.astype(dt), t)
         state = BPState(
             v2c=v2c0,
             x_hat=x0,
@@ -225,17 +261,17 @@ class BPDecoder:
 
         def body(s: BPState):
             c2v = self._check_rows(s.v2c, cmask)            # [B, C, Dc]
-            c2v_var = self._chk_to_var(c2v).astype(jnp.float32)  # [B, V, Dv]
+            c2v_var = self._chk_to_var(c2v, t).astype(jnp.float32)
             marginal = llr + jnp.where(vmask, c2v_var, 0.0).sum(-1)
             v2c_var = (marginal[:, :, None] - c2v_var).astype(dt)
-            v2c_new = self._var_to_chk(v2c_var)
+            v2c_new = self._var_to_chk(v2c_var, t)
             x_new = (marginal < 0).astype(jnp.int32)
 
             active = ~s.done
             x_hat = jnp.where(active[:, None], x_new, s.x_hat)
             v2c = jnp.where(active[:, None, None], v2c_new, s.v2c)
             iters = s.iters + active.astype(jnp.int32)
-            done = s.done | self._syndrome_ok(x_hat)
+            done = s.done | self._syndrome_ok(x_hat, t)
             return BPState(v2c, x_hat, done, iters, s.it + 1)
 
         final = lax.while_loop(cond, body, state)
@@ -259,19 +295,20 @@ class BPDecoder:
         caps = tuple(int(c) for c in caps)
         assert list(caps) == sorted(caps) and caps[0] >= 1
         g = self.graph
+        t = self.tables
         llr = llr.astype(jnp.float32)
         B = llr.shape[0]
         dt = self.msg_dtype
-        cmask, vmask = g.chk_mask, g.var_mask
+        cmask, vmask = t["cmask"], t["vmask"]
         caps_arr = jnp.asarray(caps, jnp.int32)
 
         x0 = (llr < 0).astype(jnp.int32)
-        done0 = (self._syndrome_ok(x0) if self.check_init
+        done0 = (self._syndrome_ok(x0, t) if self.check_init
                  else jnp.zeros(B, bool))
         pri = jnp.broadcast_to(llr[:, :, None], llr.shape + (g.max_var_deg,))
         snap0 = jnp.broadcast_to(x0[None], (len(caps),) + x0.shape)
         state = (BPState(
-            v2c=self._var_to_chk(pri.astype(dt)),
+            v2c=self._var_to_chk(pri.astype(dt), t),
             x_hat=x0, done=done0,
             iters=jnp.zeros(B, dtype=jnp.int32),
             it=jnp.zeros((), dtype=jnp.int32)), snap0)
@@ -283,17 +320,17 @@ class BPDecoder:
         def body(ss):
             s, snap = ss
             c2v = self._check_rows(s.v2c, cmask)
-            c2v_var = self._chk_to_var(c2v).astype(jnp.float32)
+            c2v_var = self._chk_to_var(c2v, t).astype(jnp.float32)
             marginal = llr + jnp.where(vmask, c2v_var, 0.0).sum(-1)
             v2c_var = (marginal[:, :, None] - c2v_var).astype(dt)
-            v2c_new = self._var_to_chk(v2c_var)
+            v2c_new = self._var_to_chk(v2c_var, t)
             x_new = (marginal < 0).astype(jnp.int32)
 
             active = ~s.done
             x_hat = jnp.where(active[:, None], x_new, s.x_hat)
             v2c = jnp.where(active[:, None, None], v2c_new, s.v2c)
             iters = s.iters + active.astype(jnp.int32)
-            done = s.done | self._syndrome_ok(x_hat)
+            done = s.done | self._syndrome_ok(x_hat, t)
             hit = caps_arr == (s.it + 1)                       # [K]
             snap = jnp.where(hit[:, None, None], x_hat[None], snap)
             return BPState(v2c, x_hat, done, iters, s.it + 1), snap

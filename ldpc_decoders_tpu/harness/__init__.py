@@ -2,5 +2,9 @@
 result persistence and logging (reference L4, src/main.py:10-51 +
 utils.py Saver/loggers)."""
 
-from ldpc_decoders_tpu.harness.runner import MonteCarloRunner, RunConfig  # noqa: F401
+from ldpc_decoders_tpu.harness.runner import (  # noqa: F401
+    MonteCarloRunner,
+    RunConfig,
+    run_rotating_members,
+)
 from ldpc_decoders_tpu.harness.saver import Saver  # noqa: F401

@@ -79,9 +79,12 @@ class RunConfig:
 class MonteCarloRunner:
     """Runs one (channel, code, decoder) sweep to the target error count."""
 
-    def __init__(self, cfg: RunConfig, mesh: Optional[jax.sharding.Mesh] = None):
+    def __init__(self, cfg: RunConfig,
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 rotating: bool = False):
         self.cfg = cfg
         self.mesh = mesh
+        self.rotating = bool(rotating)
         self.mod = CHANNELS[cfg.channel]
         self.code = get_code(cfg.code)
         self.dec = self.mod.DECODERS[cfg.decoder](self.code,
@@ -96,6 +99,21 @@ class MonteCarloRunner:
         # the hot loop).
         self.stateful = getattr(getattr(self.dec, "dec", None),
                                 "stateful", False)
+        # Tables-parameterized decoders (BP families) can take their
+        # member-specific index/permutation tables as traced ARGUMENTS
+        # instead of jit-baked constants: the compiled chunk then serves
+        # any same-shape ensemble member (rotate_member). Engaged only
+        # when ``rotating`` is requested — a plain single-code run keeps
+        # the constants route, which measures ~5% faster on the matmul
+        # permutation path (the one-hot tables' layouts specialize at
+        # compile time; docs/SCALING.md "Ensemble decode routes").
+        self.rotatable = (self.rotating
+                          and hasattr(getattr(self.dec, "dec", None),
+                                      "member_tables")
+                          and not self.host_only and not self.stateful)
+        if self.rotating and not self.rotatable:
+            raise ValueError(
+                f"decoder {cfg.decoder} does not support member rotation")
 
         # Run identity: same id-key convention as reference main.py:13.
         id_keys = (["channel", "code", "decoder", "codeword", "min_wec"]
@@ -127,6 +145,46 @@ class MonteCarloRunner:
             self._chunk = jax.jit(self._chunk_body)
 
     # ------------------------------------------------------------------
+    def rotate_member(self, code_name: str, n_edge_pad: int = 0,
+                      seed: Optional[int] = None) -> None:
+        """Point this runner at another same-shape ensemble member
+        WITHOUT recompiling: the chunk executable reads all member-
+        specific data from its traced ``tables`` argument, so swapping
+        the inner decoder's tables (+ Saver/logger identity) re-targets
+        the compiled program. This is the TPU answer to the reference's
+        10-cluster-jobs-per-ensemble-config pattern (simulations.py:79-85)
+        — one compile, then every member decodes at full single-code rate
+        (the G-stacked joint program measured ~100x slower per word on a
+        v5e; docs/SCALING.md "Ensemble decode routes").
+
+        ``n_edge_pad``: common edge-axis length for edge-layout decoders
+        (BEC SPA) when members' double-edge cancellation left different
+        edge counts. ``seed`` optionally re-seeds the member's sweep.
+        """
+        if not self.rotatable:
+            raise ValueError("decoder does not support member rotation")
+        if self.cfg.codeword == -1:
+            raise ValueError("random-codeword mode samples a member-"
+                             "specific codebook; rotation requires "
+                             "codeword 0/1")
+        self.cfg = dataclasses.replace(
+            self.cfg, code=code_name,
+            **({"seed": seed} if seed is not None else {}))
+        self.code = get_code(code_name)
+        inner = self.dec.dec
+        inner.tables = inner.member_tables(self.code.graph,
+                                           n_edge_pad=n_edge_pad)
+        inner.graph = self.code.graph
+        cfg_vars = dataclasses.asdict(self.cfg)
+        self.id_vals = [cfg_vars[k] for k in self.id_keys]
+        self.log = logging.getLogger(
+            ".".join(str(v) for v in self.id_vals))
+        self.saver = (Saver(self.cfg.data_dir,
+                            list(zip(self.id_keys, self.id_vals)))
+                      if self.cfg.data_dir and jax.process_index() == 0
+                      else None)
+
+    # ------------------------------------------------------------------
     def _sample_x(self, key, batch: int) -> jnp.ndarray:
         n = self.code.get_n()
         if self.cfg.codeword == -1:
@@ -135,15 +193,21 @@ class MonteCarloRunner:
             return cb[idx]
         return jnp.full((batch, n), self.cfg.codeword, jnp.int32)
 
-    def _chunk_body(self, key, i, param, batch: Optional[int] = None):
+    def _chunk_body(self, key, i, param, tables=None,
+                    batch: Optional[int] = None):
         """One super-batch: returns (wec, bec, iters[B]). ``i`` is the
         chunk counter — key derivation happens inside jit so each chunk
-        is a single host->device dispatch."""
+        is a single host->device dispatch. ``tables`` (rotatable
+        decoders) carries the member-specific decoder tables as traced
+        arguments."""
         batch = batch or self.cfg.batch
         kx, kc, kd = jax.random.split(jax.random.fold_in(key, i), 3)
         x = self._sample_x(kx, batch)
         y = self.mod.send(kc, x, param)
-        x_hat, aux = self.dec.decode(y, param, kd)
+        if tables is not None:
+            x_hat, aux = self.dec.decode_tables(tables, y, param, kd)
+        else:
+            x_hat, aux = self.dec.decode(y, param, kd)
         errs = (x_hat != x.astype(x_hat.dtype)).sum(axis=-1)
         iters = aux.get("iters", jnp.zeros(batch, jnp.int32))
         return (errs > 0).sum(), errs.sum(), iters
@@ -152,13 +216,16 @@ class MonteCarloRunner:
         local = self.cfg.batch // mesh.devices.size
         track_hist = self.track_hist
         stateful = self.stateful
+        rotatable = self.rotatable
 
-        def per_device(key, i, param, *state):
+        def per_device(key, i, param, *extra):
             dev_key = jax.random.fold_in(key, jax.lax.axis_index("batch"))
+            tables = extra[0] if rotatable else None
+            state = extra[1:] if rotatable else extra
             if stateful:
                 self.dec.dec.begin_pure(state[0], axis_name="batch")
             wec, bec, iters = self._chunk_body(dev_key, i, param,
-                                               batch=local)
+                                               tables=tables, batch=local)
             out_state = (self.dec.dec.end_pure(),) if stateful else ()
             if track_hist:
                 # Histogram in-graph and psum it: the replicated result is
@@ -171,15 +238,18 @@ class MonteCarloRunner:
             return (jax.lax.psum(wec, "batch"), jax.lax.psum(bec, "batch"),
                     iters) + out_state
 
-        state_specs = (P(),) if stateful else ()
+        # Replicated extras: member tables (rotatable) and/or decoder
+        # state (stateful); P() broadcasts over every pytree leaf.
+        extra_specs = ((P(),) if rotatable else ()) + \
+                      ((P(),) if stateful else ())
         # check_vma=False: decode loops carry constants (iteration counters)
         # that jax's varying-axis checker would otherwise reject; every
         # cross-device value we consume is explicitly psum-reduced.
         sharded = jax.shard_map(
             per_device, mesh=mesh,
-            in_specs=(P(), P(), P()) + state_specs,
+            in_specs=(P(), P(), P()) + extra_specs,
             out_specs=(P(), P(), P() if track_hist else P("batch"))
-            + state_specs,
+            + ((P(),) if stateful else ()),
             check_vma=False)
         return jax.jit(sharded)
 
@@ -232,6 +302,11 @@ class MonteCarloRunner:
                 w, b, iters, self._dec_state = self._chunk(
                     param_key, i, param, self._dec_state)
                 return w, b, iters
+        elif self.rotatable:
+            # Member tables ride every dispatch as traced arguments, so
+            # rotate_member() swaps the decoded code without recompiling.
+            def decode_chunk(i):
+                return self._chunk(param_key, i, param, self.dec.tables)
         else:
             # Returns device arrays: dispatch is asynchronous, the sync
             # happens in consume() pipeline-depth slots later.
@@ -315,3 +390,23 @@ class MonteCarloRunner:
             results[param] = self.run_param(param, sub)
         self.log.info("Done!")
         return results
+
+
+def run_rotating_members(cfg: RunConfig, member_names, mesh=None) -> dict:
+    """Monte-Carlo a whole same-shape code ensemble, one member at a
+    time, through ONE compiled chunk (see
+    :meth:`MonteCarloRunner.rotate_member`). Per-member adaptive
+    ``min_wec`` termination and per-member result files exactly as the
+    reference's independent ensemble jobs produce
+    (simulations.py:79-85). Returns ``{member: {param: metrics}}``."""
+    e_pad = max(get_code(n).graph.n_edge for n in member_names)
+    runner = MonteCarloRunner(
+        dataclasses.replace(cfg, code=member_names[0]), mesh=mesh,
+        rotating=True)
+    results = {}
+    for idx, name in enumerate(member_names):
+        # Distinct seeds keep members' channel noise independent.
+        runner.rotate_member(name, n_edge_pad=e_pad,
+                             seed=cfg.seed + idx)
+        results[name] = runner.run()
+    return results
