@@ -20,6 +20,10 @@ import numpy as np
 # At 8192 slots the matrices are ~260 MB bf16 / ~520 MB f32 — comfortable
 # on 16 GB HBM; gathers take over beyond it.
 MATMUL_PERM_MAX_EDGES = 8192
+# The incidence route's matrices are [C*Dc, V] — avg-var-degree times
+# smaller than the E x E permutations — so it stays affordable further
+# out (margulis: 2 x 84 MB f32 vs 2 x 1 GB for E x E).
+INCIDENCE_MAX_SLOTS = 16384
 
 
 def padded_slots(graph) -> int:
@@ -29,6 +33,10 @@ def padded_slots(graph) -> int:
 
 def use_matmul(graph) -> bool:
     return padded_slots(graph) <= MATMUL_PERM_MAX_EDGES
+
+
+def use_incidence(graph) -> bool:
+    return padded_slots(graph) <= INCIDENCE_MAX_SLOTS
 
 
 def perm_chk_to_var(graph) -> np.ndarray:

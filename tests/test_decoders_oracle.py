@@ -137,3 +137,27 @@ def test_msa_matches_spa_on_easy_batch():
         dec = mod.DECODERS[name](code, max_iter=20)
         est, _ = dec.decode(y, 8.0, key)
         assert (np.asarray(est) == 0).mean() > 0.999, name
+
+
+@pytest.mark.parametrize("code_name", ["7_4_hamming", "1200_3_6_ldpc",
+                                       "1200_rho_x5_rand_ldpc_1"])
+@pytest.mark.parametrize("variant", ["SPA", "MSA"])
+def test_bp_perm_routes_bit_identical(code_name, variant):
+    """The three variable-halfstep routes — incidence ([E,V] sum dot +
+    broadcast dot, the default), matmul (one-hot E x E permutations) and
+    gather (slot maps) — must produce bit-identical decisions AND
+    iteration counts: each is an exact 0/1 linear map evaluated at
+    HIGHEST precision, so any divergence is a routing bug, not noise."""
+    from ldpc_decoders_tpu.decoders.bp import BPDecoder
+
+    code = codes.get_code(code_name)
+    llr = jax.random.normal(jax.random.PRNGKey(3),
+                            (32, code.get_n())) * 4.0
+    outs = {}
+    for mode in ("incidence", "matmul", "gather"):
+        dec = BPDecoder(code.graph, variant, max_iter=10, perm=mode)
+        xh, it = dec.decode(llr)
+        outs[mode] = (np.asarray(xh), np.asarray(it))
+    for mode in ("matmul", "gather"):
+        assert (outs["incidence"][0] == outs[mode][0]).all(), mode
+        assert (outs["incidence"][1] == outs[mode][1]).all(), mode
