@@ -35,10 +35,18 @@ Semantics preserved from the reference:
 - MSA sign * leave-one-out min (bpa.py:86-102): min1/min2/argmin in two
   masked reductions, replacing the reference's two argmax passes.
 
-Saturation policy: messages are finite by construction (phi-domain caps
-magnitudes around phi(PHI_EPS) ~= 16-17 in float32); the reference instead
-produces +-inf and zeroes the resulting NaNs. Both behave identically in
-the waterfall region because decisions saturate far below these magnitudes.
+Saturation policy: check messages are finite by construction, capped at
+LLR_CLIP = 38 — the reference's *effective* float64 ceiling, where
+np.tanh(v/2) rounds to exactly 1.0 and 2*atanh(1-ulp) ~= 37.4
+(bpa.py:71-75). Beyond that point the reference emits literal +-inf and
+relies on inf-inf -> NaN -> 0 patching (bpa.py:35-38); we stay saturated
+at the cap instead, which differs only for words whose every message has
+already reached float64-certainty (statistically invisible in any
+golden-resolvable WER region, validated member-by-member against the
+reference ensembles). The cap level matters: an earlier phi(1e-7) ~= 16.8
+cap measurably raised the SPA error floor on irregular ensembles (z ~ +13
+vs goldens at BSC low crossover) because trapping-set escapes depend on
+how much confidence the converged part of the graph can accumulate.
 """
 
 from __future__ import annotations
@@ -55,10 +63,17 @@ from ldpc_decoders_tpu.ops.graph import (
     exclusive_sum,
 )
 
-# float32 phi-domain guards: phi is its own inverse; PHI_EPS bounds the
-# maximum representable certainty at phi(PHI_EPS) ~= log(2/PHI_EPS).
-PHI_EPS = 1e-7
-LLR_CLIP = 40.0
+# float32 phi-domain guards: phi is its own inverse, so clipping its
+# argument to [PHI_EPS, LLR_CLIP] with PHI_EPS = phi(LLR_CLIP) caps check
+# messages at exactly LLR_CLIP. The cap is set to the reference's
+# *effective* float64 saturation: np.tanh(v/2) rounds to 1.0 (a factor of
+# exact certainty) at |v| ~ 38, and the largest finite check message
+# 2*atanh(1 - ulp) is ~37.4 (bpa.py:71-75 in float64). An earlier cap of
+# phi(1e-7) ~= 16.8 produced a measurable SPA error floor on irregular
+# codes (trapping-set escapes ride on accumulated extrinsic confidence).
+# All intermediate phi values stay in float32 normal range (>= 6e-17).
+LLR_CLIP = 38.0
+PHI_EPS = 6.27e-17  # = phi(LLR_CLIP) = 2*exp(-38)
 # Min-sum messages must NOT be magnitude-capped: on the BSC all LLRs are
 # equal multiples of log((1-p)/p) and a cap acts like attenuated min-sum,
 # visibly *improving* WER vs the uncapped reference (observed 2-3x lower
@@ -66,11 +81,27 @@ LLR_CLIP = 40.0
 # (nonexistent in real codes) degree-1 check would emit.
 MSA_DEG1_GUARD = 1e30
 
+# Sentinel encoding for inf_policy="reference" (see class docstring):
+# the message plane stays a single float tensor — +-inf is +-INF_S and
+# NaN is NAN_S, so sentinels ride the one-hot MXU permutations exactly
+# (1e9 and 2e9 are integers < 2^31, exact in float32 and distinguishable
+# in bfloat16), and class tests are magnitude-band comparisons.
+INF_S = 1e9
+NAN_S = 2e9
+_INF_MIN = 5e8    # |v| above this => +-inf class
+_NAN_MIN = 1.5e9  # v above this => NaN class
+
 
 def phi(x: jnp.ndarray) -> jnp.ndarray:
-    """Gallager phi(x) = -log(tanh(x/2)), stable for x in [1e-7, 80]."""
+    """Gallager phi(x) = -log(tanh(x/2)), float32-stable over the whole
+    ladder [PHI_EPS, LLR_CLIP]: the exp(-x) route loses all precision
+    below x ~ 1e-6 (exp(-x) rounds to 1), so small arguments use the
+    series -log(tanh(x/2)) = log(2/x) + x^2/12 + O(x^4) instead."""
+    small = x < 0.1
     ex = jnp.exp(-x)
-    return jnp.log1p(ex) - jnp.log1p(-ex)
+    big = jnp.log1p(ex) - jnp.log1p(-jnp.where(small, 0.5, ex))
+    ser = jnp.log(2.0 / jnp.where(small, x, 1.0)) + x * x / 12.0
+    return jnp.where(small, ser, big)
 
 
 def spa_check_rows(rows: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -80,6 +111,40 @@ def spa_check_rows(rows: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     neg = jnp.where(mask, rows < 0, False).astype(jnp.int32)
     ext = phi(jnp.clip(exclusive_sum(ph), PHI_EPS, None))
     return (ext * exclusive_sign_parity(neg)).astype(rows.dtype)
+
+
+def spa_check_rows_ref(rows: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """SPA check update with the reference's float64 inf/NaN semantics
+    (bpa.py:71-75 + math_utils.arctanh), sentinel-encoded.
+
+    - a NaN input poisons the whole row (log(NaN) -> NaN row sum);
+    - +-inf inputs act as factors of exact +-1 (np.tanh(inf) == 1), as do
+      finite inputs past LLR_CLIP ~ 38 where float64 tanh rounds to 1;
+    - an output is +-inf iff ALL its leave-one-out factors are saturated
+      (product == +-1 exactly -> arctanh -> inf), sign by parity.
+    """
+    a = rows.astype(jnp.float32)
+    mag = jnp.abs(a)
+    nan_i = a > _NAN_MIN
+    pinf_i = (a > _INF_MIN) & ~nan_i
+    ninf_i = a < -_INF_MIN
+    fin_i = ~(nan_i | pinf_i | ninf_i)
+    sat = mask & (pinf_i | ninf_i | (mag >= LLR_CLIP))
+    live = mask & fin_i & (mag < LLR_CLIP)
+    neg = (mask & ((fin_i & (a < 0)) | ninf_i)).astype(jnp.int32)
+
+    ph = jnp.where(live, phi(jnp.clip(mag, PHI_EPS, LLR_CLIP)), 0.0)
+    phs = exclusive_sum(ph)
+    nsat = exclusive_sum(sat.astype(jnp.float32))
+    deg = mask.astype(jnp.float32).sum(axis=-1, keepdims=True)
+    sgn = exclusive_sign_parity(neg).astype(jnp.float32)
+
+    val = phi(jnp.clip(phs, PHI_EPS, None)) * sgn
+    all_sat = nsat > deg - 1.5          # every leave-one-out factor == +-1
+    out = jnp.where(all_sat, sgn * INF_S, val)
+    nan_row = (mask & nan_i).any(axis=-1, keepdims=True)
+    out = jnp.where(nan_row, NAN_S, out)
+    return jnp.where(mask, out, 0.0).astype(rows.dtype)
 
 
 def msa_check_rows(rows: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -134,12 +199,28 @@ class BPDecoder:
     def __init__(self, graph: TannerGraph, variant: str = "SPA",
                  max_iter: int = 10, iter_cap: int = 1000,
                  msg_dtype=jnp.float32, perm: str = "auto",
-                 check_init: bool = True, **_):
+                 check_init: bool = True, inf_policy: str = "reference",
+                 **_):
         if variant not in ("SPA", "MSA"):
             raise ValueError(f"unknown BP variant {variant!r}")
+        if inf_policy not in ("reference", "saturate"):
+            raise ValueError(f"unknown inf_policy {inf_policy!r}")
         self.graph = graph
         self.check_init = bool(check_init)
         self.variant = variant
+        # "reference" (SPA only): reproduce the reference's float64
+        # inf/NaN dynamics — saturated checks emit literal +-inf, the
+        # variable update's inf-inf becomes NaN which virally poisons
+        # check rows, and a NaN marginal decides bit 0 (bpa.py:35-38).
+        # These dynamics are LOAD-BEARING for the committed golden SPA
+        # curves: on codeword=0 runs the poison cascade progressively
+        # zeroes stuck words, suppressing the error floor up to ~15x at
+        # low noise (validated: IREG member 3, BSC p=0.05, cap 100 —
+        # golden WER 0.0144, reference-semantics 0.0159, clean
+        # saturating decoder 0.247). "saturate" is the clean TPU-native
+        # policy (messages capped at LLR_CLIP, no poison), preferable
+        # for any purpose other than matching the reference's curves.
+        self.inf_policy = inf_policy if variant == "SPA" else "saturate"
         self.max_iter = int(max_iter)
         # max_iter <= 0 => run to convergence, bounded by the safety cap.
         self.iter_cap = self.max_iter if self.max_iter > 0 else int(iter_cap)
@@ -212,22 +293,22 @@ class BPDecoder:
         if self.perm == "gather":
             return self._slot_perm(chk_vals, t["vs_from_chk"],
                                    g.n_var, g.max_var_deg)
-        B = chk_vals.shape[0]
-        flat = chk_vals.reshape(B, g.n_chk * g.max_chk_deg)
+        lead = chk_vals.shape[:-2]
+        flat = chk_vals.reshape(lead + (g.n_chk * g.max_chk_deg,))
         out = jnp.dot(flat, t["p_c2v"], precision=self._dot_precision,
                       preferred_element_type=chk_vals.dtype)
-        return out.reshape(B, g.n_var, g.max_var_deg)
+        return out.reshape(lead + (g.n_var, g.max_var_deg))
 
     def _var_to_chk(self, var_vals: jnp.ndarray, t: dict) -> jnp.ndarray:
         g = self.graph
         if self.perm == "gather":
             return self._slot_perm(var_vals, t["cs_from_var"],
                                    g.n_chk, g.max_chk_deg)
-        B = var_vals.shape[0]
-        flat = var_vals.reshape(B, g.n_var * g.max_var_deg)
+        lead = var_vals.shape[:-2]
+        flat = var_vals.reshape(lead + (g.n_var * g.max_var_deg,))
         out = jnp.dot(flat, t["p_v2c"], precision=self._dot_precision,
                       preferred_element_type=var_vals.dtype)
-        return out.reshape(B, g.n_chk, g.max_chk_deg)
+        return out.reshape(lead + (g.n_chk, g.max_chk_deg))
 
     def _syndrome_ok(self, x_hat: jnp.ndarray, t: dict) -> jnp.ndarray:
         """[B, V] bits -> [B] bool."""
@@ -284,6 +365,87 @@ class BPDecoder:
         v2c_var = (marginal[:, :, None] - c2v_var).astype(dt)
         return marginal, self._var_to_chk(v2c_var, t)
 
+    # -- reference inf/NaN semantics (SPA parity mode) -------------------
+    def _var_agg(self, planes: jnp.ndarray, t: dict) -> jnp.ndarray:
+        """Sum stacked check-layout planes [B, P, C, Dc] per variable ->
+        [B, P, V] (pads excluded on every route)."""
+        g = self.graph
+        if self.perm == "incidence":
+            lead = planes.shape[:-2]
+            flat = planes.reshape(lead + (g.n_chk * g.max_chk_deg,))
+            return jnp.dot(flat.astype(t["a_sum"].dtype), t["a_sum"],
+                           precision=self._dot_precision,
+                           preferred_element_type=jnp.float32)
+        per_var = self._chk_to_var(planes, t).astype(jnp.float32)
+        return jnp.where(t["vmask"], per_var, 0.0).sum(axis=-1)
+
+    def _var_broadcast(self, marg: jnp.ndarray, t: dict) -> jnp.ndarray:
+        """Broadcast per-variable values [B, V] to their edges in check
+        layout -> [B, C, Dc]."""
+        g = self.graph
+        B = marg.shape[0]
+        if self.perm == "incidence":
+            flat = jnp.dot(marg.astype(t["a_bc"].dtype), t["a_bc"],
+                           precision=self._dot_precision,
+                           preferred_element_type=jnp.float32)
+            return flat.reshape(B, g.n_chk, g.max_chk_deg)
+        per_var = jnp.broadcast_to(
+            marg[:, :, None], marg.shape + (g.max_var_deg,))
+        return self._var_to_chk(per_var, t).astype(jnp.float32)
+
+    def _spa_ref_step(self, t: dict, llr: jnp.ndarray,
+                      v2c: jnp.ndarray) -> tuple:
+        """One SPA iteration under inf_policy="reference": returns
+        (x_new [B, V] int32, v2c_new). Mirrors bpa.py:31-62 float64
+        behavior: marginal = priors + sum(c2v) with IEEE inf arithmetic,
+        NaN marginal -> bit 0, v2c = marginal - c2v computed BEFORE the
+        NaN zeroing so inf-inf poisons the edge for good."""
+        cmask = t["cmask"]
+        c2v = spa_check_rows_ref(v2c, cmask).astype(jnp.float32)
+
+        nan_i = c2v > _NAN_MIN
+        pinf_i = (c2v > _INF_MIN) & ~nan_i
+        ninf_i = c2v < -_INF_MIN
+        fin_v = jnp.where(nan_i | pinf_i | ninf_i, 0.0, c2v)
+        planes = jnp.stack(
+            [fin_v, nan_i.astype(jnp.float32), pinf_i.astype(jnp.float32),
+             ninf_i.astype(jnp.float32)], axis=1)       # [B, 4, C, Dc]
+        sums = self._var_agg(planes, t)                  # [B, 4, V]
+        fin_sum, n_nan, n_p, n_n = (sums[:, 0], sums[:, 1],
+                                    sums[:, 2], sums[:, 3])
+
+        is_nan = (n_nan > 0.5) | ((n_p > 0.5) & (n_n > 0.5))
+        is_p = ~is_nan & (n_p > 0.5)
+        is_n = ~is_nan & (n_n > 0.5)
+        marg_fin = llr + fin_sum
+        # NaN marginal is zeroed before the hard decision (bpa.py:37) so
+        # it decides bit 0, exactly like +inf; -inf decides bit 1.
+        x_new = jnp.where(is_n, 1,
+                          jnp.where(is_nan | is_p, 0,
+                                    (marg_fin < 0).astype(jnp.int32)))
+        marg_enc = jnp.where(is_nan, NAN_S,
+                             jnp.where(is_p, INF_S,
+                                       jnp.where(is_n, -INF_S, marg_fin)))
+
+        edge_m = self._var_broadcast(marg_enc, t)        # [B, C, Dc]
+        em_nan = edge_m > _NAN_MIN
+        em_p = (edge_m > _INF_MIN) & ~em_nan
+        em_n = edge_m < -_INF_MIN
+        v2c_new = jnp.where(em_p, jnp.where(pinf_i, NAN_S, INF_S),
+                            edge_m - fin_v)
+        v2c_new = jnp.where(em_n, jnp.where(ninf_i, NAN_S, -INF_S), v2c_new)
+        v2c_new = jnp.where(em_nan, NAN_S, v2c_new)
+        v2c_new = jnp.where(cmask, v2c_new, 0.0)
+        return x_new.astype(jnp.int32), v2c_new.astype(self.msg_dtype)
+
+    def _bp_step(self, t: dict, llr: jnp.ndarray, v2c: jnp.ndarray) -> tuple:
+        """One BP iteration: (x_new [B, V] int32, v2c_new [B, C, Dc])."""
+        if self.variant == "SPA" and self.inf_policy == "reference":
+            return self._spa_ref_step(t, llr, v2c)
+        c2v = self._check_rows(v2c, t["cmask"])
+        marginal, v2c_new = self._var_update(t, llr, c2v)
+        return (marginal < 0).astype(jnp.int32), v2c_new
+
     def decode(self, llr: jnp.ndarray, key=None) -> tuple:
         return self.decode_tables(self.tables, llr, key)
 
@@ -292,7 +454,6 @@ class BPDecoder:
         :meth:`member_tables`)."""
         llr = llr.astype(jnp.float32)
         B = llr.shape[0]
-        cmask = t["cmask"]
 
         x0 = (llr < 0).astype(jnp.int32)
         done0 = (self._syndrome_ok(x0, t) if self.check_init
@@ -309,9 +470,7 @@ class BPDecoder:
             return (s.it < self.iter_cap) & ~s.done.all()
 
         def body(s: BPState):
-            c2v = self._check_rows(s.v2c, cmask)            # [B, C, Dc]
-            marginal, v2c_new = self._var_update(t, llr, c2v)
-            x_new = (marginal < 0).astype(jnp.int32)
+            x_new, v2c_new = self._bp_step(t, llr, s.v2c)
 
             active = ~s.done
             x_hat = jnp.where(active[:, None], x_new, s.x_hat)
@@ -343,7 +502,6 @@ class BPDecoder:
         t = self.tables
         llr = llr.astype(jnp.float32)
         B = llr.shape[0]
-        cmask = t["cmask"]
         caps_arr = jnp.asarray(caps, jnp.int32)
 
         x0 = (llr < 0).astype(jnp.int32)
@@ -362,9 +520,7 @@ class BPDecoder:
 
         def body(ss):
             s, snap = ss
-            c2v = self._check_rows(s.v2c, cmask)
-            marginal, v2c_new = self._var_update(t, llr, c2v)
-            x_new = (marginal < 0).astype(jnp.int32)
+            x_new, v2c_new = self._bp_step(t, llr, s.v2c)
 
             active = ~s.done
             x_hat = jnp.where(active[:, None], x_new, s.x_hat)

@@ -251,3 +251,59 @@ def test_ireg_ens_member_golden_agreement():
     # member 5 at eps=0.3) and our members reproduce that spread.
     if 1 in spread and 5 in spread:
         assert spread[1] < 0.1 < 0.5 < spread[5], spread
+
+
+# Cross-channel member sets (regen_ens_cross.py): (channel, decoder,
+# our filename suffix, reference filename suffix) per ensemble prefix.
+_MEMBER_SETS = [
+    ("1200_3_6_rand_ldpc", "bsc", "MSA", "MSA-1-100-10", "MSA-10"),
+    ("1200_3_6_rand_ldpc", "bsc", "SPA", "SPA-0-100-10", "SPA-10-0"),
+    ("1200_3_6_rand_ldpc", "biawgn", "MSA", "MSA-1-100-10", "MSA-10-1"),
+    ("1200_3_6_rand_ldpc", "biawgn", "SPA", "SPA-0-100-10", "SPA-10-0"),
+    ("1200_rho_x5_rand_ldpc", "bsc", "MSA", "MSA-1-100-100", "MSA-1-100"),
+    ("1200_rho_x5_rand_ldpc", "bsc", "SPA", "SPA-0-100-100", "SPA-0-100"),
+    ("1200_rho_x5_rand_ldpc", "biawgn", "MSA", "MSA-1-100-100", "MSA-1-100"),
+    ("1200_rho_x5_rand_ldpc", "biawgn", "SPA", "SPA-0-100-100", "SPA-0-100"),
+]
+
+
+def _ac_var(w, t):
+    """Agresti-Coull adjusted binomial variance of an observed rate."""
+    p = (w * t + 2.0) / (t + 4.0)
+    return p * (1.0 - p) / (t + 4.0)
+
+
+@pytest.mark.parametrize("prefix,channel,dec,ours_sfx,ref_sfx", _MEMBER_SETS)
+def test_cross_channel_member_golden_agreement(prefix, channel, dec,
+                                               ours_sfx, ref_sfx):
+    """Member-by-member golden agreement beyond the BEC sets: every
+    regenerated BSC/biAWGN member curve (REG max_iter=10, IREG
+    max_iter=100) tracks its own committed reference golden — same
+    vendored H draws, so deviations are pure Monte-Carlo noise.
+    Compared on the shared sweep params where the golden's WER is
+    resolvable (>=1e-3 given its ~300-error stop)."""
+    art = os.path.join(os.path.dirname(__file__), "..", "artifacts", "data")
+    checked = 0
+    for i in range(1, 11):
+        ours_p = os.path.join(art, f"{channel}-{prefix}_{i}-{ours_sfx}.json")
+        ref_p = os.path.join(REF_OUTPUT, f"{channel}-{prefix}_{i}-{ref_sfx}.json")
+        if not (os.path.exists(ours_p) and os.path.exists(ref_p)):
+            continue
+        ours, ref = json.load(open(ours_p)), json.load(open(ref_p))
+        for param in ref["wer"]:
+            if param not in ours.get("wer", {}) or ref["wer"][param] < 1e-3:
+                continue
+            w_o, t_o = ours["wer"][param], ours["tot"][param]
+            w_r, t_r = ref["wer"][param], ref["tot"][param]
+            # Agresti-Coull adjusted variance: the reference stops at
+            # ~100 errors, so at WER ~= 1 its raw binomial variance
+            # estimate degenerates to 0 (w*(1-w) with w == 1) and any
+            # difference looks like infinite sigma. Adding 2 pseudo
+            # successes/failures keeps the estimate honest there.
+            se = math.sqrt(_ac_var(w_o, t_o) + _ac_var(w_r, t_r))
+            assert abs(w_o - w_r) < 5 * se + 0.01, \
+                (i, param, w_o, w_r, se)
+            checked += 1
+    if not checked:
+        pytest.skip("cross-channel member artifacts not present yet")
+    assert checked >= 20
