@@ -14,9 +14,20 @@ Per-cap estimates share noise realizations (correlated across caps,
 unbiased individually — exactly like comparing decoders on common
 randomness, a variance *reduction* for cap-to-cap contrasts).
 
-max_iter semantics follow the decoders: a cap label of 0 means run to
-convergence (reference bpa.py:28 loops forever without a cap; here the
-``iter_cap`` safety bound applies — curves saturate far below it).
+max_iter label semantics (golden-vintage calibrated):
+- label > 0: iteration cap, current reference semantics (bpa.py:28);
+- label = 0: NO decoding — the tally scores the raw channel output.
+  The reference's committed ``*-SPA-0-0.json`` goldens all have WER = 1
+  and (on biAWGN) BER = 1: at that code vintage ``max_iter=0`` returned
+  ``x_hat = y`` untouched, and on biAWGN the *real-valued* y never
+  equals a bit, so every bit scored as an error. (The CURRENT reference
+  code would instead loop without a cap — a different, later semantics
+  reachable here with a negative label.) We reproduce the goldens:
+  bec/bsc tally y itself (erasures are errors); biawgn tallies every
+  bit as an error;
+- label < 0: run to convergence (current reference ``max_iter <= 0``
+  semantics; the ``iter_cap`` safety bound applies — curves saturate
+  far below it).
 """
 
 from __future__ import annotations
@@ -50,16 +61,24 @@ class CapSweepRunner:
         self.mod = CHANNELS[cfg.channel]
         self.code = get_code(cfg.code)
         self.cap_labels = list(cap_labels)
-        effective = [c if c > 0 else cfg.iter_cap for c in self.cap_labels]
+        # label 0 = raw channel output (slot 0 of the tally, no decode);
+        # label < 0 = converge (iter_cap); label > 0 = that cap.
+        effective = [0 if c == 0 else (c if c > 0 else cfg.iter_cap)
+                     for c in self.cap_labels]
         order = np.argsort(effective, kind="stable")
         self.order = order                       # ascending-cap order
-        self.caps = [int(effective[i]) for i in order]
+        self.caps = [int(effective[i]) for i in order if effective[i] > 0]
+        self.n_zero = sum(1 for e in effective if e == 0)
+        if self.n_zero > 1:
+            raise ValueError("at most one raw-output (0) cap label")
         if len(set(self.caps)) != len(self.caps):
             raise ValueError(f"duplicate effective caps: {self.caps}")
-        self.K = len(self.caps)
+        self.K = self.n_zero + len(self.caps)
 
         if cfg.decoder not in ("SPA", "MSA"):
             raise ValueError("cap sweep supports BP decoders only")
+        if not self.caps:
+            raise ValueError("need at least one decoding cap label")
         kw = dict(max_iter=self.caps[-1], iter_cap=cfg.iter_cap,
                   msg_dtype=jnp.dtype(cfg.msg_dtype))
         if cfg.channel == "bec":
@@ -93,7 +112,15 @@ class CapSweepRunner:
         else:
             x_hats, _ = self.dec.decode_multi_cap(
                 self.mod.llr(y, param), self.caps)
-        errs = (x_hats != x[None]).sum(axis=-1)          # [K, B]
+        errs = (x_hats != x[None]).sum(axis=-1)          # [K', B]
+        if self.n_zero:
+            if cfg.channel == "biawgn":
+                # golden vintage: raw REAL y scored against bits — every
+                # bit is an error.
+                errs0 = jnp.full((1, B), n, errs.dtype)
+            else:
+                errs0 = (y != x).sum(axis=-1)[None]      # bec: 2 != bit
+            errs = jnp.concatenate([errs0, errs], axis=0)
         return (errs > 0).sum(axis=-1), errs.sum(axis=-1)
 
     def run_param(self, param: float, key) -> list:

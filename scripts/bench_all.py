@@ -66,9 +66,9 @@ def main() -> None:
     base_key = jax.random.PRNGKey(0)
     specs = []
 
-    def bp_spec(name, variant):
+    def bp_spec(name, variant, desc_extra="", **kw):
         dec = BPDecoder(code.graph, variant, max_iter=10,
-                        msg_dtype=jnp.bfloat16)
+                        msg_dtype=jnp.bfloat16, **kw)
         batch = 8192
         x = jnp.zeros((batch, code.get_n()), jnp.int32)
 
@@ -80,11 +80,16 @@ def main() -> None:
             errs = (x_hat != x).sum(axis=-1)
             return (errs > 0).sum(), errs.sum()
 
-        return (name, f"{variant} it<=10 LDPC(1200,3,6) biAWGN 3dB bf16",
-                batch, chunk)
+        return (name,
+                f"{variant} it<=10 LDPC(1200,3,6) biAWGN 3dB bf16"
+                + desc_extra, batch, chunk)
 
     specs.append(bp_spec("msa", "MSA"))
-    specs.append(bp_spec("spa", "SPA"))
+    # SPA default = the reference's inf/NaN-cascade semantics (golden
+    # parity); "saturate" is the clean fast policy (docs/SCALING.md).
+    specs.append(bp_spec("spa", "SPA", " refmode"))
+    specs.append(bp_spec("spa_saturate", "SPA", " saturate",
+                         inf_policy="saturate"))
 
     def becspa_spec():
         dec = BECSPADecoder(code.graph, max_iter=10)

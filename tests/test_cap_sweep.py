@@ -60,16 +60,36 @@ def test_bec_spa_multi_cap_matches_per_cap(code):
 def test_cap_sweep_runner_end_to_end(tmp_path):
     """All caps tallied from one pass; per-cap files named exactly as a
     per-cap MonteCarloRunner would name them; error counts monotonically
-    non-increasing in the cap (same noise realizations)."""
+    non-increasing in the cap (same noise realizations). Label 0 = raw
+    channel output (golden-vintage semantics: the reference's committed
+    *-0-* cap files score x_hat = y untouched, WER 1 at any real
+    crossover); label -1 = run to convergence (current reference
+    max_iter <= 0 semantics)."""
     cfg = RunConfig(channel="bsc", code="7_4_hamming", decoder="MSA",
                     params=[0.08], codeword=1, min_wec=30, batch=256,
                     data_dir=str(tmp_path), log_freq=1e9, iter_cap=500)
-    caps = [0, 1, 3, 10]
+    caps = [0, 1, 3, 10, -1]
     res = CapSweepRunner(cfg, caps).run()
     assert set(res.keys()) == set(caps)
     wecs = {c: res[c][0.08]["wec"] for c in caps}
-    assert wecs[1] >= wecs[3] >= wecs[10] >= wecs[0]  # 0 = converge
+    assert wecs[0] >= wecs[1] >= wecs[3] >= wecs[10] >= wecs[-1]
+    # raw-output slot: every word with >= 1 flip errors; BER = p approx.
+    tot = res[0][0.08]["tot"]
+    assert res[0][0.08]["wec"] >= 0.35 * tot   # 1-(1-.08)^7 ~ 0.44
     for c in caps:
         f = tmp_path / f"bsc-7_4_hamming-MSA-1-30-{c}.json"
         assert f.exists(), list(tmp_path.iterdir())
         assert res[c][0.08]["wec"] >= 30 or res[c][0.08]["tot"] >= 256
+
+
+def test_cap_sweep_zero_label_biawgn(tmp_path):
+    """biAWGN raw-output slot: the golden vintage compared REAL y to the
+    bits, so WER = BER = 1 exactly (reference
+    biawgn-1200_3_6_ldpc-SPA-0-0.json is 1.0 everywhere)."""
+    cfg = RunConfig(channel="biawgn", code="7_4_hamming", decoder="SPA",
+                    params=[2.0], codeword=1, min_wec=10, batch=128,
+                    data_dir=str(tmp_path), log_freq=1e9)
+    res = CapSweepRunner(cfg, [0, 10]).run()
+    s = res[0][2.0]
+    assert s["wer"] == 1.0 and s["ber"] == 1.0
+    assert res[10][2.0]["wer"] < 0.5
