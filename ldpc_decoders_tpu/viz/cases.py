@@ -49,7 +49,14 @@ def MAR(common):
 # plot_results.py:47, against its own naming). No leading dash: argparse
 # nargs="+" would treat it as a flag; other iteration caps (1/40/100)
 # can't false-match since their tails are "-1.json"/"-40.json"/"-100.json".
+# The IREG ensemble runs at cap 100 ("-100.json"), which "10.json"
+# cannot match as a substring — the reference's own current
+# plot_results.py has this dead filter against its committed "-0-100"
+# IREG files (its committed IREG plot PNGs, which DO show all 10 member
+# curves, predate that filter), so the IREG cases here filter on the
+# cap the data actually has.
 _MI10 = "10.json"
+_MI100 = "100.json"
 
 # Per-(channel, decoder) axis limits, copied from the reference's
 # presentation constants (plot_results.py:63-72) — keys: ensemble /
@@ -68,8 +75,8 @@ _REG_LIMS = {
 }
 
 
-def _ens_plot(common, case, ens, chl, dec, lims):
-    _run(["--and", f"{chl}-{ens}", dec, _MI10, "--type", "ensemble",
+def _ens_plot(common, case, ens, chl, dec, lims, mi=_MI10):
+    _run(["--and", f"{chl}-{ens}", dec, mi, "--type", "ensemble",
           "--title", f"{chl.upper()}, {dec} decoder, {ens} ensemble"]
          + lims, common, f"{case}__{chl}_{dec}_ensemble")
 
@@ -109,9 +116,9 @@ def IREG_ENS(common):
     averages (reference plot_results.py:80-96)."""
     ens = "1200_rho_x5_rand_ldpc"
     for (chl, dec), (l_en, _, _) in _REG_LIMS.items():
-        _ens_plot(common, "IREG_ENS", ens, chl, dec, l_en)
+        _ens_plot(common, "IREG_ENS", ens, chl, dec, l_en, mi=_MI100)
     for chl, extra in (("bsc", []), ("biawgn", ["--xlim", ".5", "2.75"])):
-        _run(["--and", f"{chl}-{ens}", _MI10, "--or_", "SPA", "MSA",
+        _run(["--and", f"{chl}-{ens}", _MI100, "--or_", "SPA", "MSA",
               "--type", "regex_average",
               "--group_regex", f"{ens}_[0-9]+-SPA", "SPA",
               "--group_regex", f"{ens}_[0-9]+-MSA", "MSA",

@@ -136,7 +136,14 @@ def ensemble_results_dir(tmp_path_factory):
     for chl in ("bec", "bsc", "biawgn"):
         for dec in ("SPA", "MSA"):
             for code in codes:
-                mis = (10, 1, 40) if code == "1200_3_6_ldpc" else (10,)
+                # real artifact naming: REG members cap 10, IREG members
+                # cap 100, flagship code at several caps.
+                if code == "1200_3_6_ldpc":
+                    mis = (10, 1, 40)
+                elif "rho_x5" in code:
+                    mis = (100,)
+                else:
+                    mis = (10,)
                 for mi in mis:
                     name = f"{chl}-{code}-{dec}-1-100-{mi}.json"
                     vals = {str(p): float(rng.uniform(1e-4, 1e-1))
@@ -202,3 +209,21 @@ def test_profiler_accumulates(caplog):
                 with prof.tag("work"):
                     _t.sleep(0.001)
     assert any("Summary at[2]" in r.message for r in caplog.records)
+
+
+def test_ireg_ensemble_case_matches_members(tmp_path):
+    """The IREG_ENS ensemble case must actually select the 10 cap-100
+    member files: the reference's current plot_results.py filters on
+    "10.json", which cannot substring-match its own "-0-100.json" IREG
+    files (its committed IREG plot PNGs, showing all 10 curves, predate
+    that filter) — our case grid filters on the cap the data has."""
+    art = os.path.join(os.path.dirname(__file__), "..", "artifacts", "data")
+    if not os.path.exists(os.path.join(
+            art, "bsc-1200_rho_x5_rand_ldpc_1-SPA-0-100-100.json")):
+        pytest.skip("IREG member artifacts not present")
+    args = _args(["--and", "bsc-1200_rho_x5_rand_ldpc", "SPA", "100.json",
+                  "--type", "ensemble", "--file_name", "ens_irg"],
+                 art, str(tmp_path))
+    dl = vg.run(args)
+    assert len(dl) == 10, [r.get_label() for r in dl]
+    assert os.path.exists(os.path.join(str(tmp_path), "ens_irg.png"))
