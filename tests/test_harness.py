@@ -307,3 +307,33 @@ def test_cross_channel_member_golden_agreement(prefix, channel, dec,
     if not checked:
         pytest.skip("cross-channel member artifacts not present yet")
     assert checked >= 20
+
+
+def test_margulis_admm_golden_agreement():
+    """Margulis(2640,1320) ADMM curves vs the reference's committed
+    goldens (oldest vintage 'ADMM-1-3.0-1e-05' = decoder-cw-mu-eps; the
+    run parameters are unrecorded there — max_iter was determined
+    empirically to be run-to-convergence: our max_iter=0 reproduces the
+    bsc anchors 0.270/0.0068 vs golden 0.275/0.0084 while caps
+    10/30/100 are far off). Compared where both sides resolve the WER."""
+    art = os.path.join(os.path.dirname(__file__), "..", "artifacts", "data")
+    checked = 0
+    for ch in ("bec", "bsc", "biawgn"):
+        ours_p = os.path.join(art, f"{ch}-margulis-ADMM-1-100-3.0-1e-05-0-False.json")
+        ref_p = os.path.join(REF_OUTPUT, f"{ch}-margulis-ADMM-1-3.0-1e-05.json")
+        if not (os.path.exists(ours_p) and os.path.exists(ref_p)):
+            continue
+        ours, ref = json.load(open(ours_p)), json.load(open(ref_p))
+        for param in ref["wer"]:
+            if param not in ours.get("wer", {}):
+                continue
+            w_o, t_o = ours["wer"][param], ours["tot"][param]
+            w_r, t_r = ref["wer"][param], ref["tot"][param]
+            if w_r < 5e-4 and w_o < 5e-4:
+                continue  # both beyond the budgeted tail resolution
+            se = math.sqrt(_ac_var(w_o, t_o) + _ac_var(w_r, t_r))
+            assert abs(w_o - w_r) < 5 * se + 0.01, (ch, param, w_o, w_r, se)
+            checked += 1
+    if not checked:
+        pytest.skip("margulis ADMM artifacts not present yet")
+    assert checked >= 8
