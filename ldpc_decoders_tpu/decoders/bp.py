@@ -407,14 +407,16 @@ class BPDecoder:
         pinf_i = (c2v > _INF_MIN) & ~nan_i
         ninf_i = c2v < -_INF_MIN
         fin_v = jnp.where(nan_i | pinf_i | ninf_i, 0.0, c2v)
+        # A NaN input is counted as +inf AND -inf at once: the marginal
+        # class rule "conflicting infinities -> NaN" then absorbs the
+        # dedicated NaN plane, so the aggregation is 3 dots, not 4.
         planes = jnp.stack(
-            [fin_v, nan_i.astype(jnp.float32), pinf_i.astype(jnp.float32),
-             ninf_i.astype(jnp.float32)], axis=1)       # [B, 4, C, Dc]
-        sums = self._var_agg(planes, t)                  # [B, 4, V]
-        fin_sum, n_nan, n_p, n_n = (sums[:, 0], sums[:, 1],
-                                    sums[:, 2], sums[:, 3])
+            [fin_v, (pinf_i | nan_i).astype(jnp.float32),
+             (ninf_i | nan_i).astype(jnp.float32)], axis=1)  # [B, 3, C, Dc]
+        sums = self._var_agg(planes, t)                  # [B, 3, V]
+        fin_sum, n_p, n_n = sums[:, 0], sums[:, 1], sums[:, 2]
 
-        is_nan = (n_nan > 0.5) | ((n_p > 0.5) & (n_n > 0.5))
+        is_nan = (n_p > 0.5) & (n_n > 0.5)
         is_p = ~is_nan & (n_p > 0.5)
         is_n = ~is_nan & (n_n > 0.5)
         marg_fin = llr + fin_sum
