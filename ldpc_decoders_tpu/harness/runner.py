@@ -67,13 +67,18 @@ class RunConfig:
     # ~1.9x end-to-end on a v5e; remote-tunnel backends profit from a
     # deeper pipeline). 1 = fully synchronous.
     pipeline: int = 4
+    # SPA inf handling: "reference" reproduces the float64 inf/NaN
+    # cascade the golden curves depend on; "saturate" is the clean,
+    # ~2x-faster policy (decoders/bp.py, docs/SCALING.md).
+    inf_policy: str = "reference"
 
     def decoder_kwargs(self) -> dict:
         return dict(max_iter=self.max_iter, mu=self.mu, eps=self.eps,
                     allow_pseudo=self.allow_pseudo, layers=list(self.layers),
                     train=self.train, apprx=self.apprx,
                     iter_cap=self.iter_cap, cache_dir=self.cache_dir,
-                    msg_dtype=jnp.dtype(self.msg_dtype))
+                    msg_dtype=jnp.dtype(self.msg_dtype),
+                    inf_policy=self.inf_policy)
 
 
 class MonteCarloRunner:

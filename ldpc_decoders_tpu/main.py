@@ -79,6 +79,12 @@ def setup_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 BP messages (faster; statistically "
                              "equivalent curves)")
+    parser.add_argument("--inf-policy", choices=["reference", "saturate"],
+                        default="reference",
+                        help="SPA saturation semantics: 'reference' "
+                             "reproduces the float64 inf/NaN cascade the "
+                             "golden curves depend on; 'saturate' is the "
+                             "clean ~2x-faster policy (docs/SCALING.md)")
     parser.add_argument("--pipeline", type=int, default=4,
                         help="chunks in flight ahead of the host sync "
                              "(matches RunConfig.pipeline)")
@@ -108,7 +114,8 @@ def main(argv=None) -> None:
         log_freq=args.log_freq, max_words=args.max_words,
         data_dir=args.data_dir, cache_dir=args.cache_dir,
         msg_dtype="bfloat16" if args.bf16 else "float32",
-        pipeline=args.pipeline, profile=args.profile)
+        pipeline=args.pipeline, profile=args.profile,
+        inf_policy=args.inf_policy)
 
     mesh = None
     if args.mesh:
