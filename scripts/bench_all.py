@@ -66,10 +66,12 @@ def main() -> None:
     base_key = jax.random.PRNGKey(0)
     specs = []
 
-    def bp_spec(name, variant, desc_extra="", **kw):
+    def bp_spec(name, variant, desc_extra="", batch=16384, **kw):
+        # 16384 saturates the incidence matmuls for MSA (bench.py sweep:
+        # 267k -> 381k cw/s); SPA's larger per-word state (phi planes)
+        # spills there and measures faster at 8192.
         dec = BPDecoder(code.graph, variant, max_iter=10,
                         msg_dtype=jnp.bfloat16, **kw)
-        batch = 8192
         x = jnp.zeros((batch, code.get_n()), jnp.int32)
 
         @jax.jit
@@ -87,13 +89,13 @@ def main() -> None:
     specs.append(bp_spec("msa", "MSA"))
     # SPA default = the reference's inf/NaN-cascade semantics (golden
     # parity); "saturate" is the clean fast policy (docs/SCALING.md).
-    specs.append(bp_spec("spa", "SPA", " refmode"))
-    specs.append(bp_spec("spa_saturate", "SPA", " saturate",
+    specs.append(bp_spec("spa", "SPA", " refmode", batch=8192))
+    specs.append(bp_spec("spa_saturate", "SPA", " saturate", batch=8192,
                          inf_policy="saturate"))
 
     def becspa_spec():
         dec = BECSPADecoder(code.graph, max_iter=10)
-        batch = 8192
+        batch = 16384
         x = jnp.zeros((batch, code.get_n()), jnp.int32)
 
         @jax.jit
@@ -111,7 +113,7 @@ def main() -> None:
 
     def admm_spec():
         dec = ADMMDecoder(code.graph, mu=3.0, eps=1e-5, max_iter=50)
-        batch = 1024
+        batch = 2048
         x = jnp.zeros((batch, code.get_n()), jnp.int32)
 
         @jax.jit
