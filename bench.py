@@ -27,11 +27,14 @@ def main() -> None:
     code = _flagship_code()
     # bfloat16 messages: statistically equivalent curves (validated vs the
     # reference goldens), ~19% faster than float32 on v5e.
+    # Fused whole-loop Pallas kernel (ops/pallas_bp.py): the 10-iteration
+    # decode stays VMEM-resident per 128-word tile — bit-identical
+    # decisions and iteration counts vs the XLA incidence route, ~1.4x
+    # its throughput (532k vs 378k cw/s measured at this config).
     dec = BPDecoder(code.graph, "MSA", max_iter=10,
-                    msg_dtype=jnp.bfloat16)
-    # Batch sweep (v5e, depth-4 pipeline): 8192 -> 267k cw/s, 16384 ->
-    # 381k, 32768 -> 360k; 16k rows saturate the incidence-route matmuls
-    # without spilling message state.
+                    msg_dtype=jnp.bfloat16, perm="pallas")
+    # Batch sweep (v5e, depth-4 pipeline, incidence route): 8192 -> 267k
+    # cw/s, 16384 -> 381k, 32768 -> 360k.
     batch = 16384
     x = jnp.zeros((batch, code.get_n()), jnp.int32)
 

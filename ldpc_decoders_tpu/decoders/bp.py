@@ -231,8 +231,16 @@ class BPDecoder:
             perm = ("incidence" if perm_ops.use_incidence(graph)
                     else "gather")
 
-        if perm not in ("incidence", "matmul", "gather"):
+        if perm not in ("incidence", "matmul", "gather", "pallas"):
             raise ValueError(f"unknown perm mode {perm!r}")
+        if perm == "pallas":
+            # Fused whole-loop kernel (ops/pallas_bp.py): MSA on fully
+            # regular graphs with bfloat16 messages only — the headline
+            # benchmark configuration.
+            if variant != "MSA":
+                raise ValueError("perm='pallas' supports MSA only")
+            if self.msg_dtype != jnp.bfloat16:
+                raise ValueError("perm='pallas' requires bfloat16 messages")
         self.perm = perm
         self.tables = self.member_tables(graph)
 
@@ -253,6 +261,10 @@ class BPDecoder:
                 self.graph.max_chk_deg, self.graph.max_var_deg):
             raise ValueError("member graph has different padded shapes")
         t = {"cmask": g.chk_mask, "vmask": g.var_mask}
+        if self.perm == "pallas":
+            from ldpc_decoders_tpu.ops.pallas_bp import slot_tables
+            t["pa"], t["ph"] = slot_tables(g)
+            return t
         if self.perm == "incidence":
             t["a_sum"] = jnp.asarray(perm_ops.var_sum_matrix(g), dt)
             t["a_bc"] = jnp.asarray(perm_ops.var_broadcast_matrix(g), dt)
@@ -454,6 +466,14 @@ class BPDecoder:
     def decode_tables(self, t: dict, llr: jnp.ndarray, key=None) -> tuple:
         """Pure decode over *traced* member tables (see
         :meth:`member_tables`)."""
+        if self.perm == "pallas":
+            import jax
+
+            from ldpc_decoders_tpu.ops.pallas_bp import msa_decode_pallas
+            return msa_decode_pallas(
+                t["pa"], t["ph"], llr.astype(jnp.float32),
+                max_iter=self.iter_cap, check_init=self.check_init,
+                interpret=jax.default_backend() == "cpu")
         llr = llr.astype(jnp.float32)
         B = llr.shape[0]
 

@@ -86,7 +86,8 @@ def main() -> None:
                 f"{variant} it<=10 LDPC(1200,3,6) biAWGN 3dB bf16"
                 + desc_extra, batch, chunk)
 
-    specs.append(bp_spec("msa", "MSA"))
+    specs.append(bp_spec("msa", "MSA", " pallas-fused", perm="pallas"))
+    specs.append(bp_spec("msa_xla", "MSA", " incidence"))
     # SPA default = the reference's inf/NaN-cascade semantics (golden
     # parity); "saturate" is the clean fast policy (docs/SCALING.md).
     specs.append(bp_spec("spa", "SPA", " refmode", batch=8192))

@@ -1,0 +1,67 @@
+"""Fused Pallas MSA kernel vs the XLA incidence route.
+
+On the chip the two produced bit-identical decisions AND iteration
+counts over 16384 words at 3 dB (and identical steady-state error
+tallies over 20 chunks), at 532k vs 378k cw/s. These CPU tests run the
+kernel through the Pallas interpreter on small batches.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ldpc_decoders_tpu.channels import biawgn
+from ldpc_decoders_tpu.codes import get_code
+from ldpc_decoders_tpu.decoders.bp import BPDecoder
+from ldpc_decoders_tpu.ops.pallas_bp import msa_decode_pallas, slot_tables
+
+
+@pytest.fixture(scope="module")
+def code():
+    return get_code("1200_3_6_ldpc")
+
+
+def test_pallas_matches_incidence(code):
+    B = 256
+    key = jax.random.PRNGKey(7)
+    xw = jnp.zeros((B, code.get_n()), jnp.int32)
+    y = biawgn.send(key, xw, 3.0)
+    llr = biawgn.llr(y, 3.0)
+
+    ref = BPDecoder(code.graph, "MSA", max_iter=10,
+                    msg_dtype=jnp.bfloat16, check_init=False,
+                    perm="incidence")
+    xr, ir = jax.jit(ref.decode)(llr)
+
+    a_tab, h_tab = slot_tables(code.graph)
+    xp, ip = msa_decode_pallas(a_tab, h_tab, llr.astype(jnp.float32),
+                               max_iter=10, check_init=False,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(xr), np.asarray(xp))
+    np.testing.assert_array_equal(np.asarray(ir), np.asarray(ip))
+
+
+def test_pallas_check_init_pre_exit(code):
+    # Bit-input-style LLRs whose hard decision is already a codeword
+    # must exit with zero iterations when check_init=True.
+    B = 128
+    llr = jnp.full((B, code.get_n()), 4.0, jnp.float32)  # all-zero cw
+    a_tab, h_tab = slot_tables(code.graph)
+    x, it = msa_decode_pallas(a_tab, h_tab, llr, max_iter=10,
+                              check_init=True, interpret=True)
+    assert (np.asarray(x) == 0).all()
+    assert (np.asarray(it) == 0).all()
+
+
+def test_pallas_guards():
+    irr = get_code("1200_rho_x5_rand_ldpc_1")
+    with pytest.raises(ValueError):
+        slot_tables(irr.graph)  # padded slots -> refuse
+    reg = get_code("1200_3_6_ldpc")
+    with pytest.raises(ValueError):
+        BPDecoder(reg.graph, "SPA", perm="pallas",
+                  msg_dtype=jnp.bfloat16)  # MSA only
+    with pytest.raises(ValueError):
+        BPDecoder(reg.graph, "MSA", perm="pallas")  # bf16 only
