@@ -94,8 +94,8 @@ def main() -> None:
     specs.append(bp_spec("spa_saturate", "SPA", " saturate", batch=8192,
                          inf_policy="saturate"))
 
-    def becspa_spec():
-        dec = BECSPADecoder(code.graph, max_iter=10)
+    def becspa_spec(name="bec_spa", **kw):
+        dec = BECSPADecoder(code.graph, max_iter=10, **kw)
         batch = 16384
         x = jnp.zeros((batch, code.get_n()), jnp.int32)
 
@@ -107,10 +107,11 @@ def main() -> None:
             errs = (x_hat != x).sum(axis=-1)
             return (errs > 0).sum(), errs.sum()
 
-        return ("bec_spa", "ternary SPA it<=10 LDPC(1200,3,6) BEC eps=.3",
-                batch, chunk)
+        return (name, "ternary SPA it<=10 LDPC(1200,3,6) BEC eps=.3 "
+                + (kw.get("perm") or "auto"), batch, chunk)
 
-    specs.append(becspa_spec())
+    specs.append(becspa_spec())                      # auto -> pallas on TPU
+    specs.append(becspa_spec("bec_spa_gather", perm="gather"))
 
     def admm_spec():
         dec = ADMMDecoder(code.graph, mu=3.0, eps=1e-5, max_iter=50)

@@ -65,3 +65,42 @@ def test_pallas_guards():
                   msg_dtype=jnp.bfloat16)  # MSA only
     with pytest.raises(ValueError):
         BPDecoder(reg.graph, "MSA", perm="pallas")  # bf16 only
+
+
+def test_pallas_bec_spa_bit_equal(code):
+    """Ternary dynamics are integer-exact, so the fused BEC kernel must
+    be bit-equal to BECSPADecoder — decisions and iteration counts."""
+    from ldpc_decoders_tpu.channels import bec
+    from ldpc_decoders_tpu.decoders.bec_spa import BECSPADecoder
+
+    B = 256
+    key = jax.random.PRNGKey(3)
+    xw = jnp.zeros((B, code.get_n()), jnp.int32)
+    y = bec.send(key, xw, 0.4)
+
+    ref = BECSPADecoder(code.graph, max_iter=10)
+    xr, ir = jax.jit(ref.decode)(y)
+    pal = BECSPADecoder(code.graph, max_iter=10, perm="pallas")
+    xp, ip = pal.decode(y)
+    np.testing.assert_array_equal(np.asarray(xr), np.asarray(xp))
+    np.testing.assert_array_equal(np.asarray(ir), np.asarray(ip))
+
+
+def test_pallas_bec_spa_stopping_set(code):
+    """A word caught in a stopping set must freeze with erasures left
+    (bec.py:120 semantics) — identical on both routes."""
+    from ldpc_decoders_tpu.channels import bec
+    from ldpc_decoders_tpu.decoders.bec_spa import BECSPADecoder
+
+    B = 256
+    key = jax.random.PRNGKey(9)
+    xw = jnp.zeros((B, code.get_n()), jnp.int32)
+    y = bec.send(key, xw, 0.45)      # above threshold: stopping sets
+
+    ref = BECSPADecoder(code.graph, max_iter=200)
+    xr, ir = jax.jit(ref.decode)(y)
+    pal = BECSPADecoder(code.graph, max_iter=200, perm="pallas")
+    xp, ip = pal.decode(y)
+    np.testing.assert_array_equal(np.asarray(xr), np.asarray(xp))
+    np.testing.assert_array_equal(np.asarray(ir), np.asarray(ip))
+    assert (np.asarray(xp) == 2).any(), "expected surviving erasures"
