@@ -234,11 +234,13 @@ class BPDecoder:
         if perm not in ("incidence", "matmul", "gather", "pallas"):
             raise ValueError(f"unknown perm mode {perm!r}")
         if perm == "pallas":
-            # Fused whole-loop kernel (ops/pallas_bp.py): MSA on fully
-            # regular graphs with bfloat16 messages only — the headline
-            # benchmark configuration.
-            if variant != "MSA":
-                raise ValueError("perm='pallas' supports MSA only")
+            # Fused whole-loop kernels (ops/pallas_bp.py): MSA and
+            # saturate-policy SPA, fully regular graphs, bfloat16
+            # messages. The reference-inf-policy SPA (the golden-parity
+            # default) stays on the XLA routes.
+            if variant == "SPA" and self.inf_policy != "saturate":
+                raise ValueError("perm='pallas' SPA supports "
+                                 "inf_policy='saturate' only")
             if self.msg_dtype != jnp.bfloat16:
                 raise ValueError("perm='pallas' requires bfloat16 messages")
         self.perm = perm
@@ -469,11 +471,12 @@ class BPDecoder:
         if self.perm == "pallas":
             import jax
 
-            from ldpc_decoders_tpu.ops.pallas_bp import msa_decode_pallas
-            return msa_decode_pallas(
-                t["pa"], t["ph"], llr.astype(jnp.float32),
-                max_iter=self.iter_cap, check_init=self.check_init,
-                interpret=jax.default_backend() == "cpu")
+            from ldpc_decoders_tpu.ops import pallas_bp
+            fn = (pallas_bp.msa_decode_pallas if self.variant == "MSA"
+                  else pallas_bp.spa_decode_pallas)
+            return fn(t["pa"], t["ph"], llr.astype(jnp.float32),
+                      max_iter=self.iter_cap, check_init=self.check_init,
+                      interpret=jax.default_backend() == "cpu")
         llr = llr.astype(jnp.float32)
         B = llr.shape[0]
 

@@ -323,3 +323,149 @@ def bec_spa_decode_pallas(a_tab, h_tab, y, *, max_iter: int,
         interpret=interpret,
     )(y.astype(jnp.int32), a_tab, h_tab)
     return x_hat[:B0], iters[:B0, 0]
+
+
+# float32 phi-domain ladder, mirrored from decoders/bp.py.
+_PHI_EPS = 6.27e-17
+_LLR_CLIP = 38.0
+
+
+def _phi(x):
+    """Gallager phi, float32-stable (same piecewise form as
+    decoders/bp.py:phi — series below 0.1, exp/log1p above)."""
+    small = x < 0.1
+    ex = jnp.exp(-x)
+    big = jnp.log1p(ex) - jnp.log1p(-jnp.where(small, 0.5, ex))
+    ser = jnp.log(2.0 / jnp.where(small, x, 1.0)) + x * x / 12.0
+    return jnp.where(small, ser, big)
+
+
+def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
+                max_iter, check_init):
+    """SPA (inf_policy='saturate'), whole loop VMEM-resident. Same
+    structure as the MSA kernel; the check node is the phi-domain
+    leave-one-out computed with the same prefix/suffix fold ordering as
+    ops/graph.exclusive_sum."""
+    f32 = jnp.float32
+    llr = llr_ref[:].astype(f32)
+    bs = llr.shape[0]
+
+    def syndrome_ok(xf):
+        s = jnp.dot(xf.astype(jnp.bfloat16), h_ref[:],
+                    preferred_element_type=f32)
+        bad = (s.astype(jnp.int32) % 2).sum(axis=-1, keepdims=True)
+        return (bad == 0).astype(f32)
+
+    x0 = (llr < 0).astype(f32)
+    zero_c = None
+    for d in range(Dc):
+        ed = jax.lax.dot_general(
+            llr.astype(jnp.bfloat16), a_ref[d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        v2c[d] = ed.astype(jnp.bfloat16)
+        if d == 0:
+            zero_c = ed * 0.0
+    zero_v = x0 * 0.0
+    if check_init:
+        ok0 = syndrome_ok(x0)
+        done_v0 = jnp.maximum(zero_v, ok0)
+        done_c0 = jnp.maximum(zero_c, ok0)
+    else:
+        done_v0 = zero_v
+        done_c0 = zero_c
+
+    def body(_, carry):
+        x_hat, done_v, done_c, iters_c = carry
+        planes = [v2c[d][:].astype(f32) for d in range(Dc)]
+
+        ph = [_phi(jnp.clip(jnp.abs(p), _PHI_EPS, _LLR_CLIP))
+              for p in planes]
+        neg = [(p < 0).astype(jnp.int32) for p in planes]
+        # leave-one-out via prefix/suffix folds (exclusive_sum ordering).
+        pre_ph, pre_ng = [zero_c], [jnp.zeros_like(neg[0])]
+        for d in range(Dc - 1):
+            pre_ph.append(pre_ph[-1] + ph[d])
+            pre_ng.append(pre_ng[-1] + neg[d])
+        suf_ph, suf_ng = [zero_c], [jnp.zeros_like(neg[0])]
+        for d in range(Dc - 1, 0, -1):
+            suf_ph.insert(0, suf_ph[0] + ph[d])
+            suf_ng.insert(0, suf_ng[0] + neg[d])
+
+        marg = llr
+        c2v = []
+        for d in range(Dc):
+            excl_ph = pre_ph[d] + suf_ph[d]
+            excl_ng = pre_ng[d] + suf_ng[d]
+            ext = _phi(jnp.maximum(excl_ph, _PHI_EPS))
+            sgn = (1 - 2 * (excl_ng % 2)).astype(f32)
+            cd = ext * sgn
+            c2v.append(cd)
+            marg = marg + jnp.dot(cd.astype(jnp.bfloat16), a_ref[d],
+                                  preferred_element_type=f32)
+
+        x_new = (marg < 0).astype(f32)
+        active_v = done_v == 0.0
+        active_c = done_c == 0.0
+        x_hat = jnp.where(active_v, x_new, x_hat)
+        marg_b = marg.astype(jnp.bfloat16)
+        for d in range(Dc):
+            ed = jax.lax.dot_general(
+                marg_b, a_ref[d],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            nv = (ed - c2v[d]).astype(jnp.bfloat16)
+            v2c[d] = jnp.where(active_c, nv, v2c[d][:])
+        iters_c = iters_c + active_c.astype(f32)
+        ok = syndrome_ok(x_hat)
+        done_v = jnp.maximum(done_v, ok)
+        done_c = jnp.maximum(done_c, ok)
+        return x_hat, done_v, done_c, iters_c
+
+    x_hat, _, _, iters_c = jax.lax.fori_loop(
+        0, max_iter, body, (x0, done_v0, done_c0, zero_c))
+    x_out[:] = x_hat.astype(jnp.int32)
+    it_out[:] = iters_c[:, 0:1].astype(jnp.int32)
+
+
+def spa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
+                      check_init: bool, block: int = 128,
+                      interpret: bool = False):
+    """Saturate-policy SPA: llr [B, V] -> (x_hat, iters)."""
+    Dc, C, V = a_tab.shape
+    B0 = llr.shape[0]
+    if B0 % block:
+        pad = block - B0 % block
+        llr = jnp.concatenate(
+            [llr, jnp.zeros((pad, V), llr.dtype)], axis=0)
+    B = llr.shape[0]
+    kern = functools.partial(_spa_kernel, Dc=Dc, C=C, V=V,
+                             max_iter=int(max_iter),
+                             check_init=bool(check_init))
+    x_hat, iters = pl.pallas_call(
+        kern,
+        grid=(B // block,),
+        in_specs=[
+            pl.BlockSpec((block, V), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dc, C, V), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, V), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, V), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Dc, block, C), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(llr.astype(jnp.float32), a_tab, h_tab)
+    return x_hat[:B0], iters[:B0, 0]

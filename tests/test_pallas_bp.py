@@ -104,3 +104,33 @@ def test_pallas_bec_spa_stopping_set(code):
     np.testing.assert_array_equal(np.asarray(xr), np.asarray(xp))
     np.testing.assert_array_equal(np.asarray(ir), np.asarray(ip))
     assert (np.asarray(xp) == 2).any(), "expected surviving erasures"
+
+
+def test_pallas_spa_saturate_matches_incidence(code):
+    """Saturate-policy SPA kernel vs the XLA incidence route: same
+    prefix/suffix fold ordering in the check node, so decisions should
+    agree except at f32 marginal-sum knife edges."""
+    B = 256
+    key = jax.random.PRNGKey(11)
+    xw = jnp.zeros((B, code.get_n()), jnp.int32)
+    y = biawgn.send(key, xw, 3.0)
+    llr = biawgn.llr(y, 3.0)
+
+    ref = BPDecoder(code.graph, "SPA", max_iter=10,
+                    msg_dtype=jnp.bfloat16, check_init=False,
+                    perm="incidence", inf_policy="saturate")
+    xr, ir = jax.jit(ref.decode)(llr)
+    pal = BPDecoder(code.graph, "SPA", max_iter=10,
+                    msg_dtype=jnp.bfloat16, check_init=False,
+                    perm="pallas", inf_policy="saturate")
+    xp, ip = pal.decode(llr)
+    assert (np.asarray(xr) == np.asarray(xp)).mean() >= 0.9999
+    wr = (np.asarray(xr) != 0).any(1)
+    wp = (np.asarray(xp) != 0).any(1)
+    assert (wr == wp).mean() >= 0.99
+
+
+def test_pallas_spa_refuses_reference_policy(code):
+    with pytest.raises(ValueError):
+        BPDecoder(code.graph, "SPA", perm="pallas",
+                  msg_dtype=jnp.bfloat16, inf_policy="reference")
