@@ -234,13 +234,9 @@ class BPDecoder:
         if perm not in ("incidence", "matmul", "gather", "pallas"):
             raise ValueError(f"unknown perm mode {perm!r}")
         if perm == "pallas":
-            # Fused whole-loop kernels (ops/pallas_bp.py): MSA and
-            # saturate-policy SPA, fully regular graphs, bfloat16
-            # messages. The reference-inf-policy SPA (the golden-parity
-            # default) stays on the XLA routes.
-            if variant == "SPA" and self.inf_policy != "saturate":
-                raise ValueError("perm='pallas' SPA supports "
-                                 "inf_policy='saturate' only")
+            # Fused whole-loop kernels (ops/pallas_bp.py): MSA and SPA
+            # (both inf policies), fully regular graphs, bfloat16
+            # messages.
             if self.msg_dtype != jnp.bfloat16:
                 raise ValueError("perm='pallas' requires bfloat16 messages")
         self.perm = perm
@@ -472,8 +468,12 @@ class BPDecoder:
             import jax
 
             from ldpc_decoders_tpu.ops import pallas_bp
-            fn = (pallas_bp.msa_decode_pallas if self.variant == "MSA"
-                  else pallas_bp.spa_decode_pallas)
+            if self.variant == "MSA":
+                fn = pallas_bp.msa_decode_pallas
+            elif self.inf_policy == "reference":
+                fn = pallas_bp.spa_ref_decode_pallas
+            else:
+                fn = pallas_bp.spa_decode_pallas
             return fn(t["pa"], t["ph"], llr.astype(jnp.float32),
                       max_iter=self.iter_cap, check_init=self.check_init,
                       interpret=jax.default_backend() == "cpu")

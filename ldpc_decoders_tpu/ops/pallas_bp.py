@@ -469,3 +469,191 @@ def spa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
         interpret=interpret,
     )(llr.astype(jnp.float32), a_tab, h_tab)
     return x_hat[:B0], iters[:B0, 0]
+
+
+# Sentinel bands, mirrored from decoders/bp.py (bfloat16-robust).
+_INF_S = 1e9
+_NAN_S = 2e9
+_INF_MIN = 5e8
+_NAN_MIN = 1.5e9
+
+
+def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
+                    max_iter, check_init):
+    """SPA with the reference's float64 inf/NaN cascade (inf_policy=
+    'reference'), sentinel-encoded, whole loop VMEM-resident. Plane
+    translation of decoders/bp.spa_check_rows_ref + _spa_ref_step for
+    fully regular graphs (no pad masks; row degree == Dc)."""
+    f32 = jnp.float32
+    llr = llr_ref[:].astype(f32)
+    bs = llr.shape[0]
+
+    def syndrome_ok(xf):
+        s = jnp.dot(xf.astype(jnp.bfloat16), h_ref[:],
+                    preferred_element_type=f32)
+        bad = (s.astype(jnp.int32) % 2).sum(axis=-1, keepdims=True)
+        return (bad == 0).astype(f32)
+
+    x0 = (llr < 0).astype(f32)
+    zero_c = None
+    for d in range(Dc):
+        ed = jax.lax.dot_general(
+            llr.astype(jnp.bfloat16), a_ref[d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        v2c[d] = ed.astype(jnp.bfloat16)
+        if d == 0:
+            zero_c = ed * 0.0
+    zero_v = x0 * 0.0
+    if check_init:
+        ok0 = syndrome_ok(x0)
+        done_v0 = jnp.maximum(zero_v, ok0)
+        done_c0 = jnp.maximum(zero_c, ok0)
+    else:
+        done_v0 = zero_v
+        done_c0 = zero_c
+
+    def body(_, carry):
+        x_hat, done_v, done_c, iters_c = carry
+        m = [v2c[d][:].astype(f32) for d in range(Dc)]
+
+        # -- check node (spa_check_rows_ref, regular: every slot real).
+        nan_i = [p > _NAN_MIN for p in m]
+        pinf_i = [(p > _INF_MIN) & ~n for p, n in zip(m, nan_i)]
+        ninf_i = [p < -_INF_MIN for p in m]
+        fin_i = [~(a | b | c) for a, b, c in zip(nan_i, pinf_i, ninf_i)]
+        mag = [jnp.abs(p) for p in m]
+        sat = [(a | b | (f & (g >= _LLR_CLIP))).astype(jnp.int32)
+               for a, b, f, g in zip(pinf_i, ninf_i, fin_i, mag)]
+        live = [f & (g < _LLR_CLIP) for f, g in zip(fin_i, mag)]
+        ph = [jnp.where(l, _phi(jnp.clip(g, _PHI_EPS, _LLR_CLIP)), 0.0)
+              for l, g in zip(live, mag)]
+        neg = [((f & (p < 0)) | n).astype(jnp.int32)
+               for f, p, n in zip(fin_i, m, ninf_i)]
+        nan_row = nan_i[0]
+        for d in range(1, Dc):
+            nan_row = nan_row | nan_i[d]
+
+        pre_ph, pre_sat, pre_ng = [zero_c], [sat[0] * 0], [neg[0] * 0]
+        for d in range(Dc - 1):
+            pre_ph.append(pre_ph[-1] + ph[d])
+            pre_sat.append(pre_sat[-1] + sat[d])
+            pre_ng.append(pre_ng[-1] + neg[d])
+        suf_ph, suf_sat, suf_ng = [zero_c], [sat[0] * 0], [neg[0] * 0]
+        for d in range(Dc - 1, 0, -1):
+            suf_ph.insert(0, suf_ph[0] + ph[d])
+            suf_sat.insert(0, suf_sat[0] + sat[d])
+            suf_ng.insert(0, suf_ng[0] + neg[d])
+
+        c2v = []
+        for d in range(Dc):
+            excl_ph = pre_ph[d] + suf_ph[d]
+            n_sat = pre_sat[d] + suf_sat[d]
+            excl_ng = pre_ng[d] + suf_ng[d]
+            sgn = (1 - 2 * (excl_ng % 2)).astype(f32)
+            val = _phi(jnp.maximum(excl_ph, _PHI_EPS)) * sgn
+            out = jnp.where(n_sat == Dc - 1, sgn * _INF_S, val)
+            c2v.append(jnp.where(nan_row, _NAN_S, out))
+
+        # -- variable node (_spa_ref_step): class-aware sums.
+        cn = [p > _NAN_MIN for p in c2v]
+        cp = [(p > _INF_MIN) & ~n for p, n in zip(c2v, cn)]
+        cm = [p < -_INF_MIN for p in c2v]
+        finv = [jnp.where(a | b | c, 0.0, p)
+                for a, b, c, p in zip(cn, cp, cm, c2v)]
+        fin_sum = llr
+        n_p = zero_v
+        n_n = zero_v
+        for d in range(Dc):
+            fin_sum = fin_sum + jnp.dot(finv[d].astype(jnp.bfloat16),
+                                        a_ref[d],
+                                        preferred_element_type=f32)
+            n_p = n_p + jnp.dot((cp[d] | cn[d]).astype(jnp.bfloat16),
+                                a_ref[d], preferred_element_type=f32)
+            n_n = n_n + jnp.dot((cm[d] | cn[d]).astype(jnp.bfloat16),
+                                a_ref[d], preferred_element_type=f32)
+
+        is_nan = (n_p > 0.5) & (n_n > 0.5)
+        is_p = ~is_nan & (n_p > 0.5)
+        is_n = ~is_nan & (n_n > 0.5)
+        x_new = jnp.where(is_n, 1.0,
+                          jnp.where(is_nan | is_p, 0.0,
+                                    (fin_sum < 0).astype(f32)))
+        marg_enc = jnp.where(is_nan, _NAN_S,
+                             jnp.where(is_p, _INF_S,
+                                       jnp.where(is_n, -_INF_S, fin_sum)))
+
+        active_v = done_v == 0.0
+        active_c = done_c == 0.0
+        x_hat = jnp.where(active_v, x_new, x_hat)
+        me_b = marg_enc.astype(jnp.bfloat16)
+        for d in range(Dc):
+            ed = jax.lax.dot_general(
+                me_b, a_ref[d],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            em_nan = ed > _NAN_MIN
+            em_p = (ed > _INF_MIN) & ~em_nan
+            em_n = ed < -_INF_MIN
+            nv = jnp.where(em_p, jnp.where(cp[d], _NAN_S, _INF_S),
+                           ed - finv[d])
+            nv = jnp.where(em_n, jnp.where(cm[d], _NAN_S, -_INF_S), nv)
+            nv = jnp.where(em_nan, _NAN_S, nv)
+            v2c[d] = jnp.where(active_c, nv.astype(jnp.bfloat16),
+                               v2c[d][:])
+        iters_c = iters_c + active_c.astype(f32)
+        ok = syndrome_ok(x_hat)
+        done_v = jnp.maximum(done_v, ok)
+        done_c = jnp.maximum(done_c, ok)
+        return x_hat, done_v, done_c, iters_c
+
+    x_hat, _, _, iters_c = jax.lax.fori_loop(
+        0, max_iter, body, (x0, done_v0, done_c0, zero_c))
+    x_out[:] = x_hat.astype(jnp.int32)
+    it_out[:] = iters_c[:, 0:1].astype(jnp.int32)
+
+
+def spa_ref_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
+                          check_init: bool, block: int = 64,
+                          interpret: bool = False):
+    """Reference-inf-policy SPA: llr [B, V] -> (x_hat, iters).
+
+    Default tile 64: the class machinery keeps more live [bs, C]
+    planes than the other kernels and block=128 exceeds VMEM."""
+    Dc, C, V = a_tab.shape
+    B0 = llr.shape[0]
+    if B0 % block:
+        pad = block - B0 % block
+        llr = jnp.concatenate(
+            [llr, jnp.zeros((pad, V), llr.dtype)], axis=0)
+    B = llr.shape[0]
+    kern = functools.partial(_spa_ref_kernel, Dc=Dc, C=C, V=V,
+                             max_iter=int(max_iter),
+                             check_init=bool(check_init))
+    x_hat, iters = pl.pallas_call(
+        kern,
+        grid=(B // block,),
+        in_specs=[
+            pl.BlockSpec((block, V), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dc, C, V), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, V), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, V), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Dc, block, C), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(llr.astype(jnp.float32), a_tab, h_tab)
+    return x_hat[:B0], iters[:B0, 0]

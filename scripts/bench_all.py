@@ -90,9 +90,12 @@ def main() -> None:
     specs.append(bp_spec("msa_xla", "MSA", " incidence"))
     # SPA default = the reference's inf/NaN-cascade semantics (golden
     # parity); "saturate" is the clean fast policy (docs/SCALING.md).
-    specs.append(bp_spec("spa", "SPA", " refmode", batch=8192))
-    specs.append(bp_spec("spa_saturate", "SPA", " saturate", batch=8192,
-                         inf_policy="saturate"))
+    specs.append(bp_spec("spa", "SPA", " refmode pallas",
+                         perm="pallas"))
+    specs.append(bp_spec("spa_xla", "SPA", " refmode incidence",
+                         batch=8192))
+    specs.append(bp_spec("spa_saturate", "SPA", " saturate pallas",
+                         perm="pallas", inf_policy="saturate"))
 
     def becspa_spec(name="bec_spa", **kw):
         dec = BECSPADecoder(code.graph, max_iter=10, **kw)

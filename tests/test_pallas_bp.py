@@ -61,9 +61,6 @@ def test_pallas_guards():
         slot_tables(irr.graph)  # padded slots -> refuse
     reg = get_code("1200_3_6_ldpc")
     with pytest.raises(ValueError):
-        BPDecoder(reg.graph, "SPA", perm="pallas",
-                  msg_dtype=jnp.bfloat16)  # MSA only
-    with pytest.raises(ValueError):
         BPDecoder(reg.graph, "MSA", perm="pallas")  # bf16 only
 
 
@@ -130,7 +127,27 @@ def test_pallas_spa_saturate_matches_incidence(code):
     assert (wr == wp).mean() >= 0.99
 
 
-def test_pallas_spa_refuses_reference_policy(code):
-    with pytest.raises(ValueError):
-        BPDecoder(code.graph, "SPA", perm="pallas",
-                  msg_dtype=jnp.bfloat16, inf_policy="reference")
+def test_pallas_spa_refmode_matches_incidence(code):
+    """Reference-inf-policy SPA kernel vs the XLA refmode route, at a
+    low crossover on the BSC where the inf/NaN cascade is active (the
+    regime the policy exists for)."""
+    from ldpc_decoders_tpu.channels import bsc
+
+    B = 256
+    key = jax.random.PRNGKey(5)
+    xw = jnp.zeros((B, code.get_n()), jnp.int32)
+    y = bsc.send(key, xw, 0.05)
+    llr = bsc.llr(y, 0.05)
+
+    ref = BPDecoder(code.graph, "SPA", max_iter=30,
+                    msg_dtype=jnp.bfloat16, perm="incidence",
+                    inf_policy="reference")
+    xr, ir = jax.jit(ref.decode)(llr)
+    pal = BPDecoder(code.graph, "SPA", max_iter=30,
+                    msg_dtype=jnp.bfloat16, perm="pallas",
+                    inf_policy="reference")
+    xp, ip = pal.decode(llr)
+    assert (np.asarray(xr) == np.asarray(xp)).mean() >= 0.999
+    wr = (np.asarray(xr) != 0).any(1)
+    wp = (np.asarray(xp) != 0).any(1)
+    assert (wr == wp).mean() >= 0.99
