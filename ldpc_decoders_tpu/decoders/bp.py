@@ -524,6 +524,11 @@ class BPDecoder:
         """
         caps = tuple(int(c) for c in caps)
         assert list(caps) == sorted(caps) and caps[0] >= 1
+        if self.perm == "pallas":
+            raise NotImplementedError(
+                "decode_multi_cap needs the XLA step (the fused kernel "
+                "has no per-cap snapshots); build the decoder with "
+                "perm='incidence'/'gather' for cap sweeps")
         t = self.tables
         llr = llr.astype(jnp.float32)
         B = llr.shape[0]
