@@ -32,6 +32,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ldpc_decoders_tpu.ops import perm as perm_ops
@@ -73,10 +74,26 @@ class ADMMDecoder:
         # speed edge — so the gather path is the default here.
         if perm == "auto":
             perm = "gather"
+        if perm not in ("gather", "matmul", "pallas"):
+            raise ValueError(f"unknown perm mode {perm!r}")
         self.perm = perm
         if perm == "matmul":
             self._s_cv = jnp.asarray(perm_ops.var_sum_matrix(graph))
             self._b_vc = jnp.asarray(perm_ops.var_broadcast_matrix(graph))
+        if perm == "pallas":
+            # Fused whole-loop kernel (ops/pallas_bp.py): regular graphs,
+            # hard-decision output only (allow_pseudo uses the XLA path).
+            if self.allow_pseudo:
+                raise ValueError("perm='pallas' requires allow_pseudo="
+                                 "False (fractional outputs stay on the "
+                                 "XLA route)")
+            from ldpc_decoders_tpu.ops.pallas_bp import slot_tables
+            self._pallas_a, _ = slot_tables(graph)
+            vd = np.unique(np.asarray(graph.var_deg))
+            if vd.size != 1:
+                raise ValueError("perm='pallas' requires uniform variable "
+                                 "degree")
+            self._uniform_var_deg = int(vd[0])
 
     # -- per-iteration data movement, mode-dispatched --------------------
     def _sum_per_var(self, chk_vals: jnp.ndarray) -> jnp.ndarray:
@@ -99,6 +116,15 @@ class ADMMDecoder:
         return g.gather_chk(g.expand_var(per_var), fill=0.0)
 
     def decode(self, llr: jnp.ndarray, key=None) -> tuple:
+        if self.perm == "pallas":
+            import jax
+
+            from ldpc_decoders_tpu.ops.pallas_bp import admm_decode_pallas
+            return admm_decode_pallas(
+                self._pallas_a, llr.astype(jnp.float32), mu=self.mu,
+                eps=self.eps, max_iter=self.iter_cap,
+                n_edge=self.graph.n_edge, var_deg=self._uniform_var_deg,
+                interpret=jax.default_backend() == "cpu")
         graph = self.graph
         gamma = llr.astype(jnp.float32)
         B = gamma.shape[0]

@@ -657,3 +657,198 @@ def spa_ref_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
         interpret=interpret,
     )(llr.astype(jnp.float32), a_tab, h_tab)
     return x_hat[:B0], iters[:B0, 0]
+
+
+def _admm_kernel(llr_ref, a_ref, x_out, it_out, z_sc, lam_sc, *, Dc, C, V,
+                 var_deg, mu, thresh, max_iter):
+    """ADMM LP decoding, whole loop VMEM-resident (decoders/admm.py
+    semantics, allow_pseudo=False). The parity-polytope projection is
+    the same sort-free rank + candidate-bracket algorithm as
+    ops/projection.py, unrolled over the Dc slot planes (no [.., 2D, D]
+    tensor ever materializes — 13 candidate planes fold elementwise).
+    Regular graphs only (uniform var_deg, no padded slots)."""
+    f32 = jnp.float32
+    gamma = llr_ref[:].astype(f32)                   # [bs, V]
+    inv_mu = 1.0 / mu
+    big = jnp.asarray(jnp.inf, f32)
+
+    # ADMM trajectories are precision-sensitive (bf16-quantized operands
+    # measurably shift WER — decoders/admm.py precision note), so every
+    # value-side dot splits the f32 operand into bf16 hi + lo parts:
+    # hi/lo products against the one-hot table are exact, and their f32
+    # sum recovers float32 fidelity at the cost of a second dot.
+    def dot_split(val, a, transposed):
+        hi = val.astype(jnp.bfloat16)
+        lo = (val - hi.astype(f32)).astype(jnp.bfloat16)
+        if transposed:
+            dn = (((1,), (1,)), ((), ()))
+        else:
+            dn = (((1,), (0,)), ((), ()))
+        out = jax.lax.dot_general(hi, a, dimension_numbers=dn,
+                                  preferred_element_type=f32)
+        return out + jax.lax.dot_general(lo, a, dimension_numbers=dn,
+                                         preferred_element_type=f32)
+
+    # init: z = 0.5 everywhere, lam = 0 (data-dependent zeros).
+    zero_c = None
+    for d in range(Dc):
+        ed = jax.lax.dot_general(
+            gamma.astype(jnp.bfloat16), a_ref[d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        if d == 0:
+            zero_c = ed * 0.0
+        z_sc[d] = zero_c + 0.5
+        lam_sc[d] = zero_c
+    zero_v = gamma * 0.0
+
+    def body(_, carry):
+        done_v, done_c, updates_c = carry
+        z = [z_sc[d][:] for d in range(Dc)]
+        lam = [lam_sc[d][:] for d in range(Dc)]
+
+        # x-update (admm.py:56-57).
+        acc = gamma * (-inv_mu)
+        for d in range(Dc):
+            acc = acc + dot_split(z[d] - lam[d] * inv_mu, a_ref[d],
+                                  transposed=False)
+        x = jnp.clip(acc / float(var_deg), 0.0, 1.0)
+
+        # z-update: project v = x_e + lam/mu onto PP_Dc per check row.
+        x_e = []
+        v = []
+        for d in range(Dc):
+            ed = dot_split(x, a_ref[d], transposed=True)
+            x_e.append(ed)
+            v.append(ed + lam[d] * inv_mu)
+
+        # descending rank with index tie-break (projection.py:58-62).
+        rank = [zero_c for _ in range(Dc)]
+        for d in range(Dc):
+            r = zero_c
+            for e in range(Dc):
+                if e == d:
+                    continue
+                gt = (v[e] > v[d]) | ((v[e] == v[d]) & (e < d))
+                r = r + gt.astype(f32)
+            rank[d] = r
+
+        zc = [jnp.clip(p, 0.0, 1.0) for p in v]
+        s = zero_c
+        for d in range(Dc):
+            s = s + zc[d]
+        s = jnp.floor(s)
+        r_par = s - jnp.mod(s, 2.0)
+        f = [jnp.where(rank[d] <= r_par, 1.0, -1.0) for d in range(Dc)]
+        fz = zero_c
+        for d in range(Dc):
+            fz = fz + f[d] * zc[d]
+        easy = fz <= r_par
+
+        # T at the 2*Dc clamped candidates + beta = 0 (projection.py:71-95).
+        def t_of(beta):
+            acc_t = zero_c
+            for d in range(Dc):
+                acc_t = acc_t + f[d] * jnp.clip(v[d] - beta * f[d],
+                                                0.0, 1.0)
+            return acc_t
+
+        cands = [zero_c]                             # beta = 0, T = fz
+        ts = [fz]
+        for d in range(Dc):
+            top = f[d] > 0
+            for c in (jnp.where(top, v[d] - 1.0, -v[d]),
+                      jnp.where(top, v[d], 1.0 - v[d])):
+                c = jnp.maximum(c, 0.0)
+                cands.append(c)
+                ts.append(t_of(c))
+
+        lo = zero_c
+        hi = zero_c + big
+        for c, t in zip(cands, ts):
+            lo = jnp.where(t >= r_par, jnp.maximum(lo, c), lo)
+            hi = jnp.where(t <= r_par, jnp.minimum(hi, c), hi)
+        t_lo = zero_c - big
+        t_hi = zero_c + big
+        for c, t in zip(cands, ts):
+            t_lo = jnp.where(c == lo, jnp.maximum(t_lo, t), t_lo)
+            t_hi = jnp.where(c == hi, jnp.minimum(t_hi, t), t_hi)
+        denom = t_lo - t_hi
+        beta = jnp.where(denom > 0,
+                         lo + (t_lo - r_par) * (hi - lo)
+                         / jnp.where(denom > 0, denom, 1.0), lo)
+
+        d1 = zero_c
+        d2 = zero_c
+        active_c = done_c == 0.0
+        for d in range(Dc):
+            z_new = jnp.where(easy, zc[d],
+                              jnp.clip(v[d] - beta * f[d], 0.0, 1.0))
+            d1 = d1 + (x_e[d] - z_new) ** 2
+            d2 = d2 + (z[d] - z_new) ** 2
+            z_sc[d] = jnp.where(active_c, z_new, z[d])
+            lam_sc[d] = jnp.where(active_c,
+                                  lam[d] + mu * (x_e[d] - z_new), lam[d])
+
+        # convergence: ||x_e - z||^2 and ||dz||^2 < eps^2 * nnz
+        # (admm.py:15-25), per word.
+        s1 = d1.sum(axis=-1, keepdims=True)          # [bs, 1]
+        s2 = d2.sum(axis=-1, keepdims=True)
+        close = ((s1 < thresh) & (s2 < thresh)).astype(f32)
+        updates_c = updates_c + active_c.astype(f32)
+        done_v = jnp.maximum(done_v, close)
+        done_c = jnp.maximum(done_c, close)
+        # x written every iteration for still-active words.
+        x_out[:] = jnp.where(done_v == 0.0,
+                             (x > 0.5).astype(jnp.int32), x_out[:])
+        return done_v, done_c, updates_c
+
+    done_v, done_c, updates_c = jax.lax.fori_loop(
+        0, max_iter, body, (zero_v, zero_c, zero_c))
+    # reference histogram convention (admm.py:47-53): converged after k
+    # updates -> k-1; cap-stopped -> cap.
+    it_out[:] = (updates_c[:, 0:1]
+                 - done_c[:, 0:1]).astype(jnp.int32)
+
+
+def admm_decode_pallas(a_tab, llr, *, mu: float, eps: float,
+                       max_iter: int, n_edge: int, var_deg: int,
+                       block: int = 64, interpret: bool = False):
+    """Fused ADMM (allow_pseudo=False): llr [B, V] -> (x_hat, iters)."""
+    Dc, C, V = a_tab.shape
+    B0 = llr.shape[0]
+    if B0 % block:
+        pad = block - B0 % block
+        llr = jnp.concatenate(
+            [llr, jnp.zeros((pad, V), llr.dtype)], axis=0)
+    B = llr.shape[0]
+    kern = functools.partial(_admm_kernel, Dc=Dc, C=C, V=V,
+                             var_deg=int(var_deg), mu=float(mu),
+                             thresh=float(eps) ** 2 * int(n_edge),
+                             max_iter=int(max_iter))
+    x_hat, iters = pl.pallas_call(
+        kern,
+        grid=(B // block,),
+        in_specs=[
+            pl.BlockSpec((block, V), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dc, C, V), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, V), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, V), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Dc, block, C), jnp.float32),
+            pltpu.VMEM((Dc, block, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(llr.astype(jnp.float32), a_tab)
+    return x_hat[:B0], iters[:B0, 0]

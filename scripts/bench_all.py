@@ -116,8 +116,8 @@ def main() -> None:
     specs.append(becspa_spec())                      # auto -> pallas on TPU
     specs.append(becspa_spec("bec_spa_gather", perm="gather"))
 
-    def admm_spec():
-        dec = ADMMDecoder(code.graph, mu=3.0, eps=1e-5, max_iter=50)
+    def admm_spec(name="admm", **kw):
+        dec = ADMMDecoder(code.graph, mu=3.0, eps=1e-5, max_iter=50, **kw)
         batch = 2048
         x = jnp.zeros((batch, code.get_n()), jnp.int32)
 
@@ -129,10 +129,11 @@ def main() -> None:
             errs = (x_hat != x).sum(axis=-1)
             return (errs > 0).sum(), errs.sum()
 
-        return ("admm", "ADMM it<=50 LDPC(1200,3,6) biAWGN 3dB",
-                batch, chunk)
+        return (name, "ADMM it<=50 LDPC(1200,3,6) biAWGN 3dB "
+                + (kw.get("perm") or "gather"), batch, chunk)
 
-    specs.append(admm_spec())
+    specs.append(admm_spec("admm", perm="pallas"))
+    specs.append(admm_spec("admm_xla"))
 
     def ml_spec():
         dec = MLBiAWGN(hamming)

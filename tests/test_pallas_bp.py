@@ -151,3 +151,24 @@ def test_pallas_spa_refmode_matches_incidence(code):
     wr = (np.asarray(xr) != 0).any(1)
     wp = (np.asarray(xp) != 0).any(1)
     assert (wr == wp).mean() >= 0.99
+
+
+def test_pallas_admm_matches_xla(code):
+    """Fused ADMM kernel vs the XLA gather route: f32-fidelity hi/lo
+    split dots keep the trajectories aligned — decisions and iteration
+    counts must agree except at knife-edge convergence boundaries."""
+    from ldpc_decoders_tpu.decoders.admm import ADMMDecoder
+
+    B = 128
+    key = jax.random.PRNGKey(13)
+    xw = jnp.zeros((B, code.get_n()), jnp.int32)
+    y = biawgn.send(key, xw, 3.0)
+    llr = biawgn.llr(y, 3.0)
+
+    ref = ADMMDecoder(code.graph, mu=3.0, eps=1e-5, max_iter=30)
+    xr, ir = jax.jit(ref.decode)(llr)
+    pal = ADMMDecoder(code.graph, mu=3.0, eps=1e-5, max_iter=30,
+                      perm="pallas")
+    xp, ip = pal.decode(llr)
+    assert (np.asarray(xr) == np.asarray(xp)).mean() >= 0.999
+    assert (np.asarray(ir) == np.asarray(ip)).mean() >= 0.95
