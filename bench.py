@@ -33,6 +33,17 @@ def main() -> None:
     # its throughput (532k vs 378k cw/s measured at this config).
     dec = BPDecoder(code.graph, "MSA", max_iter=10,
                     msg_dtype=jnp.bfloat16, perm="pallas")
+    # Defensive: if the Pallas route ever fails to compile, fall back to
+    # the XLA incidence route rather than reporting nothing. Probe at
+    # the BENCHED batch shape: Mosaic's scoped-VMEM accounting differs
+    # at grid=1 (a 128-row probe OOMs where the 16384-row program fits).
+    try:
+        probe = jax.jit(dec.decode)(
+            jnp.zeros((16384, code.get_n()), jnp.float32))
+        probe[0].block_until_ready()
+    except Exception:
+        dec = BPDecoder(code.graph, "MSA", max_iter=10,
+                        msg_dtype=jnp.bfloat16, perm="incidence")
     # Batch sweep (v5e, depth-4 pipeline, incidence route): 8192 -> 267k
     # cw/s, 16384 -> 381k, 32768 -> 360k.
     batch = 16384
