@@ -66,10 +66,12 @@ class BECSPADecoder:
             import jax
             perm = "gather"
             if jax.default_backend() != "cpu":
+                from ldpc_decoders_tpu.ops.pallas_bp import tables_fit_vmem
                 try:
                     from ldpc_decoders_tpu.ops.pallas_bp import slot_tables
-                    slot_tables(graph)
-                    perm = "pallas"
+                    if tables_fit_vmem(graph):
+                        slot_tables(graph)
+                        perm = "pallas"
                 except ValueError:
                     pass
         if perm not in ("gather", "pallas"):

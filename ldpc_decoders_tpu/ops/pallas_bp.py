@@ -42,6 +42,17 @@ from ldpc_decoders_tpu.ops.graph import TannerGraph
 MSA_DEG1_GUARD = 1e30  # mirrors decoders/bp.py (degree-1 checks only)
 
 
+def tables_fit_vmem(graph: TannerGraph, budget_bytes: int = 11_000_000):
+    """Whether the resident one-hot tables (A [Dc, C, V] + H [V, C],
+    bfloat16) leave room in the ~16 MB VMEM for the message scratch and
+    live planes. The flagship (1200,3,6) is ~10 MB and fits; margulis
+    (2640,1320) is ~42 MB and must stay on the XLA routes."""
+    g = graph
+    a_bytes = g.max_chk_deg * g.n_chk * g.n_var * 2
+    h_bytes = g.n_var * g.n_chk * 2
+    return a_bytes + h_bytes <= budget_bytes
+
+
 def slot_tables(graph: TannerGraph):
     """(A [Dc, C, V] bf16 one-hot slot->variable, H [V, C] bf16)."""
     g = graph

@@ -172,3 +172,12 @@ def test_pallas_admm_matches_xla(code):
     xp, ip = pal.decode(llr)
     assert (np.asarray(xr) == np.asarray(xp)).mean() >= 0.999
     assert (np.asarray(ir) == np.asarray(ip)).mean() >= 0.95
+
+
+def test_pallas_vmem_guard():
+    """Auto-select must not pick the pallas route for codes whose
+    resident tables exceed VMEM (margulis A table ~42 MB)."""
+    from ldpc_decoders_tpu.ops.pallas_bp import tables_fit_vmem
+
+    assert tables_fit_vmem(get_code("1200_3_6_ldpc").graph)
+    assert not tables_fit_vmem(get_code("margulis").graph)
