@@ -58,22 +58,14 @@ class BECSPADecoder:
         # bit-equal to the gather route including iteration counts (the
         # ternary dynamics are integer-exact; tests/test_pallas_bp.py),
         # measured 4.3x on a v5e (111k -> 480k cw/s at batch 16384).
-        # "auto" picks it on an accelerator backend when the graph is
-        # fully regular; the gather route remains for CPU (interpret
-        # mode would crawl), padded/irregular graphs, and batches that
-        # are not a multiple of the 128-row kernel tile.
+        # Opt-in like the other fused kernels: the decoder-level
+        # bit-equality is proven on the chip, but harness programs close
+        # over the ~9 MB resident tables (compile-payload hazard on the
+        # remote-compile backend), so campaigns keep the proven gather
+        # route unless the caller asks for the kernel. Requires a fully
+        # regular graph and tables_fit_vmem (see ops/pallas_bp.py).
         if perm == "auto":
-            import jax
             perm = "gather"
-            if jax.default_backend() != "cpu":
-                from ldpc_decoders_tpu.ops.pallas_bp import tables_fit_vmem
-                try:
-                    from ldpc_decoders_tpu.ops.pallas_bp import slot_tables
-                    if tables_fit_vmem(graph):
-                        slot_tables(graph)
-                        perm = "pallas"
-                except ValueError:
-                    pass
         if perm not in ("gather", "pallas"):
             raise ValueError(f"unknown perm mode {perm!r}")
         self.perm = perm

@@ -113,7 +113,7 @@ def main() -> None:
         return (name, "ternary SPA it<=10 LDPC(1200,3,6) BEC eps=.3 "
                 + (kw.get("perm") or "auto"), batch, chunk)
 
-    specs.append(becspa_spec())                      # auto -> pallas on TPU
+    specs.append(becspa_spec(perm="pallas"))
     specs.append(becspa_spec("bec_spa_gather", perm="gather"))
 
     def admm_spec(name="admm", **kw):
