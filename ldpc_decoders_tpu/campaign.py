@@ -98,6 +98,13 @@ ENSEMBLE_MEMBERS = {
     "IREG_ENS": [f"1200_rho_x5_rand_ldpc_{i + 1}" for i in range(10)],
 }
 
+# Per-campaign iteration cap for the ensemble routes: the committed IREG
+# golden artifacts and the IREG_ENS plot cases are all cap-100 vintage
+# (viz/cases.py filters on '-100.json'), so a default `campaign IREG_ENS`
+# must write cap-100 files — cap-10 output would be plot-invisible.
+# REG_ENS goldens are cap 10 (the def_cases default).
+ENSEMBLE_MAX_ITER = {"IREG_ENS": 100}
+
 # REG_BAD's iteration-cap grid (reference simulations.py:74-77) likewise
 # collapses: CapSweepRunner tallies every cap from one decode pass, so
 # the 8-cap x 5-sweep grid costs 5 compilations, not 40 jobs.
@@ -115,7 +122,7 @@ def REG_ENS() -> Iterator[RunConfig]:
 @reg_case
 def IREG_ENS() -> Iterator[RunConfig]:
     for name in ENSEMBLE_MEMBERS["IREG_ENS"]:
-        yield from def_cases(name)
+        yield from def_cases(name, ENSEMBLE_MAX_ITER["IREG_ENS"])
 
 
 # ----------------------------------------------------------------------
@@ -142,18 +149,22 @@ def run_campaign(case_names, data_dir=None, mesh=None, overrides=None,
                 EnsembleMonteCarloRunner,
             )
             members = ENSEMBLE_MEMBERS[name]
-            for cfg in def_cases(name):
+            mi = ENSEMBLE_MAX_ITER.get(name)
+            for cfg in (def_cases(name, mi) if mi else def_cases(name)):
                 # G=10 members decode at once: per-member batch 2048 keeps
                 # the stacked tables + message buffers inside one chip's
-                # HBM (override with --batch). BP sweeps run bfloat16
-                # messages — statistically validated against the golden
-                # curves (docs/SCALING.md) and ~6x the f32-HIGHEST matmul
-                # rate; the BEC ensemble's integer messages are exact at
-                # fast precision by construction.
+                # HBM (override with --batch). biAWGN sweeps run bfloat16
+                # messages (statistically validated vs the golden curves,
+                # docs/SCALING.md, ~6x the f32-HIGHEST matmul rate); BSC
+                # stays float32 — its LLRs are all equal multiples of
+                # log((1-p)/p) and that tie structure is NOT bf16-safe
+                # (the committed member goldens were regenerated in f32,
+                # scripts/regen_ens_cross.py). BEC's integer messages are
+                # exact at fast precision by construction.
                 cfg = dataclasses.replace(
                     cfg, batch=2048,
-                    msg_dtype=("float32" if cfg.channel == "bec"
-                               else "bfloat16"))
+                    msg_dtype=("bfloat16" if cfg.channel == "biawgn"
+                               else "float32"))
                 if data_dir:
                     cfg = dataclasses.replace(cfg, data_dir=data_dir)
                 if overrides:
@@ -173,11 +184,14 @@ def run_campaign(case_names, data_dir=None, mesh=None, overrides=None,
                 run_rotating_members,
             )
             members = ENSEMBLE_MEMBERS[name]
-            for cfg in def_cases(name):
+            mi = ENSEMBLE_MAX_ITER.get(name)
+            for cfg in (def_cases(name, mi) if mi else def_cases(name)):
+                # Same precision policy as the joint route above: bf16
+                # only on biAWGN (BSC tie structure is not bf16-safe).
                 cfg = dataclasses.replace(
                     cfg,
-                    msg_dtype=("float32" if cfg.channel == "bec"
-                               else "bfloat16"))
+                    msg_dtype=("bfloat16" if cfg.channel == "biawgn"
+                               else "float32"))
                 if data_dir:
                     cfg = dataclasses.replace(cfg, data_dir=data_dir)
                 if overrides:

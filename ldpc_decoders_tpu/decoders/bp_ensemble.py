@@ -24,7 +24,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ldpc_decoders_tpu.decoders.bp import msa_check_rows, spa_check_rows
+from ldpc_decoders_tpu.decoders.bp import (
+    _INF_MIN,
+    _NAN_MIN,
+    INF_S,
+    NAN_S,
+    msa_check_rows,
+    spa_check_rows,
+    spa_check_rows_ref,
+)
 from ldpc_decoders_tpu.ops import perm as perm_ops
 from ldpc_decoders_tpu.ops.graph import TannerGraph
 
@@ -76,9 +84,17 @@ class EnsembleBPDecoder:
 
     def __init__(self, graphs: Sequence[TannerGraph], variant: str = "SPA",
                  max_iter: int = 10, iter_cap: int = 1000,
-                 msg_dtype=jnp.float32, check_init: bool = True, **_):
+                 msg_dtype=jnp.float32, check_init: bool = True,
+                 inf_policy: str = "reference", **_):
         if variant not in ("SPA", "MSA"):
             raise ValueError(f"unknown BP variant {variant!r}")
+        if inf_policy not in ("reference", "saturate"):
+            raise ValueError(f"unknown inf_policy {inf_policy!r}")
+        # Same semantics as BPDecoder.inf_policy: "reference" (SPA only)
+        # reproduces the reference's float64 inf/NaN poison cascade the
+        # golden SPA curves depend on (sentinel-encoded so it rides the
+        # stacked one-hot matmuls); MSA has no saturation path.
+        self.inf_policy = inf_policy if variant == "SPA" else "saturate"
         # check_init=False mirrors BPDecoder: biAWGN always runs >=1
         # iteration (reference bpa.py:19 initializes x_hat to real y).
         self.check_init = bool(check_init)
@@ -141,16 +157,70 @@ class EnsembleBPDecoder:
         def cond(s):
             return (s.it < self.iter_cap) & ~s.done.all()
 
-        def body(s):
-            c2v = self._check_rows(s.v2c, cmask)
+        def _step_clean(v2c):
+            c2v = self._check_rows(v2c, cmask)
             c2v_var = chk_to_var(c2v).astype(jnp.float32)
             marginal = llr + jnp.where(vmask, c2v_var, 0.0).sum(-1)
             v2c_var = (marginal[:, :, None] - c2v_var).astype(dt)
-            x_new = (marginal < 0).astype(jnp.int32)
+            return (marginal < 0).astype(jnp.int32), var_to_chk(v2c_var)
+
+        def _step_ref(v2c):
+            # Mirrors BPDecoder._spa_ref_step (bpa.py:31-62 float64
+            # semantics, sentinel-encoded): saturated checks emit +-INF_S,
+            # conflicting infinities at a variable -> NAN_S which decides
+            # bit 0 and poisons edges via v2c = marginal - c2v computed
+            # BEFORE the NaN zeroing. 3 stacked aggregation planes.
+            f32 = jnp.float32
+            c2v = spa_check_rows_ref(v2c, cmask).astype(f32)
+            nan_i = c2v > _NAN_MIN
+            pinf_i = (c2v > _INF_MIN) & ~nan_i
+            ninf_i = c2v < -_INF_MIN
+            fin_v = jnp.where(nan_i | pinf_i | ninf_i, 0.0, c2v)
+            planes = jnp.stack(
+                [fin_v, (pinf_i | nan_i).astype(f32),
+                 (ninf_i | nan_i).astype(f32)], axis=1)  # [B, 3, C, Dc]
+            agg = jnp.dot(planes.reshape(B * 3, C * Dc).astype(dt),
+                          tables["p_c2v"],
+                          precision=self._dot_precision,
+                          preferred_element_type=f32)
+            per_var = agg.reshape(B, 3, V, Dv)
+            sums = jnp.where(vmask, per_var, 0.0).sum(-1)   # [B, 3, V]
+            fin_sum, n_p, n_n = sums[:, 0], sums[:, 1], sums[:, 2]
+
+            is_nan = (n_p > 0.5) & (n_n > 0.5)
+            is_p = ~is_nan & (n_p > 0.5)
+            is_n = ~is_nan & (n_n > 0.5)
+            marg_fin = llr + fin_sum
+            x_new = jnp.where(is_n, 1,
+                              jnp.where(is_nan | is_p, 0,
+                                        (marg_fin < 0).astype(jnp.int32)))
+            marg_enc = jnp.where(
+                is_nan, NAN_S,
+                jnp.where(is_p, INF_S,
+                          jnp.where(is_n, -INF_S, marg_fin)))
+            edge_m = var_to_chk(
+                jnp.where(vmask, marg_enc[:, :, None], 0.0).astype(dt)
+            ).astype(f32)
+            em_nan = edge_m > _NAN_MIN
+            em_p = (edge_m > _INF_MIN) & ~em_nan
+            em_n = edge_m < -_INF_MIN
+            v2c_new = jnp.where(em_p, jnp.where(pinf_i, NAN_S, INF_S),
+                                edge_m - fin_v)
+            v2c_new = jnp.where(em_n, jnp.where(ninf_i, NAN_S, -INF_S),
+                                v2c_new)
+            v2c_new = jnp.where(em_nan, NAN_S, v2c_new)
+            v2c_new = jnp.where(cmask, v2c_new, 0.0)
+            return x_new.astype(jnp.int32), v2c_new.astype(dt)
+
+        step = (_step_ref if (self.variant == "SPA"
+                              and self.inf_policy == "reference")
+                else _step_clean)
+
+        def body(s):
+            x_new, v2c_new = step(s.v2c)
             active = ~s.done
             x_hat = jnp.where(active[:, None], x_new, s.x_hat)
-            v2c = jnp.where(active[:, None, None], var_to_chk(v2c_var),
-                            s.v2c)
+            v2c = jnp.where(active[:, None, None], v2c_new, s.v2c)
             return _EnsState(v2c, x_hat,
                              s.done | syndrome_ok(x_hat),
                              s.iters + active.astype(jnp.int32),

@@ -80,8 +80,11 @@ class CapSweepRunner:
         if not self.caps:
             raise ValueError("need at least one decoding cap label")
         kw = dict(max_iter=self.caps[-1], iter_cap=cfg.iter_cap,
-                  msg_dtype=jnp.dtype(cfg.msg_dtype))
+                  msg_dtype=jnp.dtype(cfg.msg_dtype),
+                  inf_policy=cfg.inf_policy)
         if cfg.channel == "bec":
+            # Ternary-message BEC SPA has no saturation/inf path — any
+            # inf_policy is honored trivially.
             self.dec = BECSPADecoder(self.code.graph, **kw)
         else:
             self.dec = BPDecoder(self.code.graph, cfg.decoder,

@@ -69,9 +69,12 @@ class EnsembleMonteCarloRunner:
         self.G = len(graphs)
 
         kw = dict(max_iter=cfg.max_iter, iter_cap=cfg.iter_cap,
-                  msg_dtype=jnp.dtype(cfg.msg_dtype))
+                  msg_dtype=jnp.dtype(cfg.msg_dtype),
+                  inf_policy=cfg.inf_policy)
         if cfg.channel == "bec":
-            # Reference aliases MSA = SPA on the BEC (bec.py:125).
+            # Reference aliases MSA = SPA on the BEC (bec.py:125). The
+            # ternary-message BEC SPA has no saturation/inf path, so any
+            # inf_policy is honored trivially (messages are in {-1,0,1}).
             self.dec = EnsembleBECSPADecoder(graphs, **kw)
         else:
             self.dec = EnsembleBPDecoder(

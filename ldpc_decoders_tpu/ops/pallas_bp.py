@@ -807,10 +807,15 @@ def _admm_kernel(llr_ref, a_ref, x_out, it_out, z_sc, lam_sc, *, Dc, C, V,
         s2 = d2.sum(axis=-1, keepdims=True)
         close = ((s1 < thresh) & (s2 < thresh)).astype(f32)
         updates_c = updates_c + active_c.astype(f32)
+        # Gate the decision write on the carry's done mask (BEFORE folding
+        # in this iteration's `close`) so the converging iteration's
+        # x-update lands — matching both the XLA ADMMDecoder (x updated
+        # while active, done set afterward) and the reference (admm.py
+        # updates x_hat in place before the is_close check).
+        active_v = done_v == 0.0
         done_v = jnp.maximum(done_v, close)
         done_c = jnp.maximum(done_c, close)
-        # x written every iteration for still-active words.
-        x_out[:] = jnp.where(done_v == 0.0,
+        x_out[:] = jnp.where(active_v,
                              (x > 0.5).astype(jnp.int32), x_out[:])
         return done_v, done_c, updates_c
 

@@ -35,6 +35,33 @@ def test_matches_per_member_decode(ensemble, variant):
                                       np.asarray(it_one))
 
 
+def test_ref_inf_policy_matches_per_member_decode(ensemble):
+    """inf_policy="reference" (the SPA golden-parity cascade semantics)
+    must flow through the stacked ensemble decode bit-exactly — the
+    joint-ensemble campaign route runs SPA through this class, and a
+    silently-saturating variant diverges up to ~15x WER at low noise
+    (decoders/bp.py inf_policy note)."""
+    G, B, V = len(ensemble), 64, 120
+    p = 0.05  # low crossover + cap 50: deep in the saturation regime
+    dec = EnsembleBPDecoder([c.graph for c in ensemble], "SPA",
+                            max_iter=50, inf_policy="reference")
+    rng = np.random.default_rng(11)
+    flips = rng.random((G, B, V)) < p
+    llr = jnp.asarray((1 - 2 * flips) * np.log((1 - p) / p), jnp.float32)
+    x_ens, it_ens = dec.decode(llr)
+    saw_sentinel_regime = False
+    for g, code in enumerate(ensemble):
+        single = BPDecoder(code.graph, "SPA", max_iter=50, perm="matmul",
+                           inf_policy="reference")
+        x_one, it_one = single.decode(llr[g])
+        np.testing.assert_array_equal(np.asarray(x_ens[g]),
+                                      np.asarray(x_one))
+        np.testing.assert_array_equal(np.asarray(it_ens[g]),
+                                      np.asarray(it_one))
+        saw_sentinel_regime |= bool((np.asarray(it_one) == 50).any())
+    assert saw_sentinel_regime  # some words actually hit the cascade
+
+
 def test_rejects_mixed_shapes(ensemble):
     from ldpc_decoders_tpu import get_code
     with pytest.raises(ValueError):
