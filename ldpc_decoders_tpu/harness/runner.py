@@ -71,6 +71,14 @@ class RunConfig:
     # cascade the golden curves depend on; "saturate" is the clean,
     # ~2x-faster policy (decoders/bp.py, docs/SCALING.md).
     inf_policy: str = "reference"
+    # Compute-kernel route: "auto" promotes the fused whole-loop Pallas
+    # kernels (ops/pallas_bp.py, 1.4-4.3x the XLA routes on a v5e) when
+    # the workload is eligible AND proven-equivalent for the channel
+    # (see MonteCarloRunner._kernel_policy_ok), with a compile-probe at
+    # the real batch shape falling back to the XLA route on any failure.
+    # "xla" keeps the XLA routes; "pallas" forces the fused kernel
+    # (raising if the workload is ineligible).
+    kernel: str = "auto"
 
     def decoder_kwargs(self) -> dict:
         return dict(max_iter=self.max_iter, mu=self.mu, eps=self.eps,
@@ -92,8 +100,17 @@ class MonteCarloRunner:
         self.rotating = bool(rotating)
         self.mod = CHANNELS[cfg.channel]
         self.code = get_code(cfg.code)
-        self.dec = self.mod.DECODERS[cfg.decoder](self.code,
-                                                  **cfg.decoder_kwargs())
+        # A mesh with a "code" axis selects model parallelism: parity
+        # checks shard over it (EdgeShardedBPDecoder) instead of — or,
+        # 2-D, in addition to — the codeword batch. SURVEY.md section 5
+        # "long-code edge sharding".
+        self.code_sharded = (mesh is not None
+                             and "code" in mesh.axis_names)
+        if self.code_sharded:
+            self.dec = self._build_edge_sharded(mesh)
+        else:
+            self.dec = self.mod.DECODERS[cfg.decoder](
+                self.code, **cfg.decoder_kwargs())
         self.host_only = getattr(self.dec, "host_only", False)
         self.track_hist = getattr(getattr(self.dec, "dec", None),
                                   "track_iter_hist", False)
@@ -134,20 +151,162 @@ class MonteCarloRunner:
         self.saver = (Saver(cfg.data_dir, list(zip(id_keys, self.id_vals)))
                       if cfg.data_dir and jax.process_index() == 0 else None)
 
-        if mesh is not None:
-            if cfg.batch % mesh.devices.size:
-                raise ValueError("batch must divide evenly over the mesh")
-            self._chunk = self._build_sharded_chunk(mesh)
-            if self.stateful:
-                # Functional state threading: replicated params ride the
-                # chunk as an argument; grads pmean inside the decoder
-                # keep every device's copy identical (synchronous
-                # data-parallel training over the global batch).
-                self._dec_state = self.dec.dec.get_state()
+        batch_span = (mesh.shape.get("batch", 1) if mesh is not None
+                      else 1)
+        if cfg.batch % batch_span:
+            raise ValueError("batch must divide evenly over the mesh's "
+                             "batch axis")
+        if self.stateful and mesh is not None:
+            # Functional state threading: replicated params ride the
+            # chunk as an argument; grads pmean inside the decoder
+            # keep every device's copy identical (synchronous
+            # data-parallel training over the global batch).
+            self._dec_state = self.dec.dec.get_state()
+        self._fallback_dec = None
+        self._probe_pending = False
+        self._edge_pad = 0
+        if cfg.kernel != "xla" and not self.code_sharded:
+            self._maybe_upgrade_kernel()
+        self._build_chunk()
+
+    # ------------------------------------------------------------------
+    def _build_edge_sharded(self, mesh):
+        """Model-parallel decoder for a "code"-axis mesh: checks (and
+        message memory) shard over the axis, so codes too large for one
+        chip Monte-Carlo end-to-end through the normal harness loop."""
+        from ldpc_decoders_tpu.parallel.bp_edge_sharded import (
+            EdgeShardedBPDecoder,
+        )
+
+        cfg = self.cfg
+        if cfg.decoder not in ("SPA", "MSA"):
+            raise ValueError("code-axis sharding supports the LLR-domain "
+                             "BP decoders (SPA/MSA) only")
+        if cfg.channel == "bec":
+            raise ValueError("code-axis sharding is LLR-domain; the "
+                             "ternary BEC SPA does not shard yet")
+        if cfg.decoder == "SPA" and cfg.inf_policy == "reference":
+            # Refuse rather than silently saturate: the reference inf/NaN
+            # cascade (golden SPA parity) is not implemented in the
+            # sharded kernel (same contract as EnsembleBPDecoder).
+            raise ValueError(
+                "EdgeShardedBPDecoder implements inf_policy='saturate' "
+                "only; pass --inf-policy=saturate explicitly for "
+                "code-sharded SPA (golden-cascade parity is a "
+                "single-chip/batch-sharded feature)")
+        batch_axis = "batch" if "batch" in mesh.axis_names else None
+        inner = EdgeShardedBPDecoder(
+            self.code.parity_mtx, mesh, cfg.decoder,
+            max_iter=cfg.max_iter, iter_cap=cfg.iter_cap,
+            batch_axis=batch_axis,
+            check_init=(cfg.channel != "biawgn"))
+        if cfg.channel == "biawgn":
+            from ldpc_decoders_tpu.channels.biawgn import _AWGNLLRWrapped
+            return _AWGNLLRWrapped(inner)
+        from ldpc_decoders_tpu.channels.bsc import _LLRWrapped
+        return _LLRWrapped(inner)
+
+    # ------------------------------------------------------------------
+    def _build_chunk(self) -> None:
+        if self.code_sharded:
+            # The edge-sharded decoder IS the shard_map (tables sharded
+            # over the "code" axis, one psum per BP iteration); sampling
+            # and tallies stay replicated in a plain jit around it.
+            body = self._chunk_body
+            self._chunk = jax.jit(lambda *a, **kw: body(*a, **kw))
+        elif self.mesh is not None:
+            self._chunk = self._build_sharded_chunk(self.mesh)
         elif self.stateful:
             self._chunk = self._chunk_body  # eager; decoder jits inside
         else:
-            self._chunk = jax.jit(self._chunk_body)
+            # NOT jax.jit(self._chunk_body): equal bound methods hash
+            # equal, so after a kernel-route fallback the global pjit
+            # cache would replay the abandoned route's trace. The fresh
+            # closure forces a re-trace that reads the current self.dec.
+            body = self._chunk_body
+            self._chunk = jax.jit(lambda *a, **kw: body(*a, **kw))
+
+    def _kernel_policy_ok(self) -> bool:
+        """Whether the fused Pallas route is *proven equivalent* for this
+        (channel, decoder, precision) — eligibility beyond mere
+        compilability:
+
+        - ADMM: kernel is trajectory-identical in f32 (hi/lo split dots,
+          tests/test_pallas_bp.py) — always OK;
+        - bec: the ternary kernel is bit-equal to the gather route
+          (integer dynamics) — always OK;
+        - BP kernels require bfloat16 messages. biAWGN bf16 curves are
+          statistically validated against the goldens (docs/SCALING.md);
+          BSC LLRs are equal multiples of log((1-p)/p) and that tie
+          structure is NOT bf16-safe, so BSC only upgrades when the
+          caller explicitly chose bfloat16 messages.
+        """
+        cfg = self.cfg
+        if cfg.decoder == "ADMM":
+            return not cfg.allow_pseudo
+        if cfg.channel == "bec":
+            return True
+        if jnp.dtype(cfg.msg_dtype) == jnp.bfloat16:
+            return True
+        return cfg.channel == "biawgn"
+
+    def _maybe_upgrade_kernel(self) -> None:
+        """Swap the decoder for its fused-Pallas variant when the config
+        allows it (cfg.kernel). Under "auto" the swap is provisional: the
+        first chunk dispatch compile-probes the kernel at the REAL batch
+        shape (Mosaic's VMEM accounting is shape-dependent — a small
+        probe passes where the real grid OOMs and vice versa) and any
+        failure falls back to the XLA route (run_param)."""
+        cfg = self.cfg
+        forced = cfg.kernel == "pallas"
+        if cfg.decoder not in ("SPA", "MSA", "ADMM"):
+            if forced:
+                raise ValueError(
+                    f"no fused kernel for decoder {cfg.decoder!r}")
+            return
+        if self.host_only or self.stateful:
+            if forced:
+                raise ValueError("kernel='pallas' needs a device decoder")
+            return
+        if not forced:
+            if jax.default_backend() == "cpu":
+                return  # interpreter-mode kernels are for tests only
+            if cfg.max_iter <= 0:
+                return  # convergence runs: keep per-call work bounded
+            if not self._kernel_policy_ok():
+                return
+            from ldpc_decoders_tpu.ops.pallas_bp import tables_fit_vmem
+            if not tables_fit_vmem(self.code.graph):
+                return
+        kw = cfg.decoder_kwargs()
+        kw["perm"] = "pallas"
+        if cfg.decoder in ("SPA", "MSA") and cfg.channel != "bec":
+            kw["msg_dtype"] = jnp.bfloat16
+        try:
+            new_dec = self.mod.DECODERS[cfg.decoder](self.code, **kw)
+        except Exception as e:  # irregular graph, unsupported mode, ...
+            if forced:
+                raise
+            self.log.info("pallas kernel ineligible (%s); XLA route", e)
+            return
+        self._fallback_dec = self.dec
+        self.dec = new_dec
+        self._probe_pending = not forced
+
+    def _abandon_pallas(self, err: Exception) -> None:
+        self.log.warning(
+            "pallas kernel route failed at the run shape (%s: %s); "
+            "falling back to the XLA route", type(err).__name__, err)
+        self.dec = self._fallback_dec
+        self._fallback_dec = None
+        if self.rotatable:
+            # Re-sync the fallback decoder's tables to the current member
+            # (rotate_member may have moved on since construction).
+            inner = self.dec.dec
+            inner.tables = inner.member_tables(self.code.graph,
+                                               n_edge_pad=self._edge_pad)
+            inner.graph = self.code.graph
+        self._build_chunk()
 
     # ------------------------------------------------------------------
     def rotate_member(self, code_name: str, n_edge_pad: int = 0,
@@ -172,6 +331,7 @@ class MonteCarloRunner:
             raise ValueError("random-codeword mode samples a member-"
                              "specific codebook; rotation requires "
                              "codeword 0/1")
+        self._edge_pad = int(n_edge_pad)
         self.cfg = dataclasses.replace(
             self.cfg, code=code_name,
             **({"seed": seed} if seed is not None else {}))
@@ -317,6 +477,19 @@ class MonteCarloRunner:
             # happens in consume() pipeline-depth slots later.
             def decode_chunk(i):
                 return self._chunk(param_key, i, param)
+
+        if self._probe_pending:
+            # Compile-probe the auto-selected Pallas route at the REAL
+            # run shape (chunk index 0 is never reused by the main loop;
+            # its tallies are discarded, which is outcome-independent and
+            # leaves the estimator unbiased). Any failure — Mosaic VMEM
+            # overflow at this grid, compiler rejection, backend quirk —
+            # falls back to the proven XLA route.
+            self._probe_pending = False
+            try:
+                jax.block_until_ready(decode_chunk(0))
+            except Exception as e:  # noqa: BLE001
+                self._abandon_pallas(e)
 
         from collections import deque
 

@@ -74,6 +74,12 @@ def setup_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mesh", type=int, default=0,
                         help="shard the batch over an N-device mesh "
                              "(0 = single device)")
+    parser.add_argument("--mesh-code", type=int, default=0,
+                        help="shard parity checks over an N-device "
+                             "'code' mesh axis (EdgeShardedBPDecoder — "
+                             "codes too large for one chip); combine "
+                             "with --mesh M for a 2-D M x N batch x "
+                             "code mesh")
     parser.add_argument("--max-words", type=int, default=None,
                         help="safety cap on words per sweep point")
     parser.add_argument("--bf16", action="store_true",
@@ -85,6 +91,13 @@ def setup_parser() -> argparse.ArgumentParser:
                              "reproduces the float64 inf/NaN cascade the "
                              "golden curves depend on; 'saturate' is the "
                              "clean ~2x-faster policy (docs/SCALING.md)")
+    parser.add_argument("--kernel", choices=["auto", "xla", "pallas"],
+                        default="auto",
+                        help="compute route: 'auto' promotes the fused "
+                             "Pallas kernels where proven equivalent "
+                             "(compile-probe with XLA fallback); 'xla' "
+                             "keeps the XLA routes; 'pallas' forces the "
+                             "fused kernel")
     parser.add_argument("--pipeline", type=int, default=4,
                         help="chunks in flight ahead of the host sync "
                              "(matches RunConfig.pipeline)")
@@ -115,10 +128,13 @@ def main(argv=None) -> None:
         data_dir=args.data_dir, cache_dir=args.cache_dir,
         msg_dtype="bfloat16" if args.bf16 else "float32",
         pipeline=args.pipeline, profile=args.profile,
-        inf_policy=args.inf_policy)
+        inf_policy=args.inf_policy, kernel=args.kernel)
 
     mesh = None
-    if args.mesh:
+    if args.mesh_code:
+        from ldpc_decoders_tpu.parallel import code_mesh
+        mesh = code_mesh(args.mesh_code, args.mesh)
+    elif args.mesh:
         from ldpc_decoders_tpu.parallel import batch_mesh
         mesh = batch_mesh(args.mesh)
 
