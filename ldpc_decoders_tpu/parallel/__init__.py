@@ -15,6 +15,7 @@ from ldpc_decoders_tpu.parallel.bp_edge_sharded import (  # noqa: F401
 )
 from ldpc_decoders_tpu.parallel.mesh import (  # noqa: F401
     batch_mesh,
+    code_mesh,
     initialize_distributed,
     is_coordinator,
     local_batch,

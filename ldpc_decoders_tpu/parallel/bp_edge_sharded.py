@@ -65,7 +65,8 @@ class EdgeShardedBPDecoder:
 
     def __init__(self, parity_mtx: np.ndarray, mesh, variant: str = "SPA",
                  max_iter: int = 10, iter_cap: int = 1000,
-                 axis: str = "code", check_init: bool = True, **_):
+                 axis: str = "code", batch_axis: str = None,
+                 check_init: bool = True, **_):
         if variant not in ("SPA", "MSA"):
             raise ValueError(f"unknown BP variant {variant!r}")
         H = np.asarray(parity_mtx)
@@ -79,10 +80,15 @@ class EdgeShardedBPDecoder:
                             else msa_check_rows)
         n_dev = int(np.prod([mesh.shape[a] for a in (axis,)]))
         self.tables = build_shard_tables(H, n_dev)
+        # Optional 2-D parallelism: with ``batch_axis`` the codeword
+        # batch shards over a second mesh axis while checks shard over
+        # ``axis`` — the per-iteration psum stays over ``axis`` only, so
+        # each batch shard decodes its rows against the full code.
+        bspec = P(batch_axis) if batch_axis else P()
         self._decode = jax.jit(jax.shard_map(
             self._device_decode, mesh=mesh,
-            in_specs=(P(axis), P(), P()),
-            out_specs=(P(), P()),
+            in_specs=(P(axis), bspec, bspec),
+            out_specs=(bspec, bspec),
             check_vma=False))
 
     # -- per-device program ---------------------------------------------

@@ -53,6 +53,25 @@ def batch_mesh(n_devices: Optional[int] = None):
     return Mesh(np.array(devs), ("batch",))
 
 
+def code_mesh(n_code: int, n_batch: int = 0):
+    """A mesh with a ``code`` axis (parity checks shard over it —
+    EdgeShardedBPDecoder's model parallelism for codes too large for one
+    chip) and optionally a ``batch`` axis for 2-D batch x code
+    parallelism: Mesh [n_batch, n_code] with axes ("batch", "code")."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if n_batch and n_batch > 1:
+        need = n_code * n_batch
+        if len(devs) < need:
+            raise ValueError(f"need {need} devices for a "
+                             f"{n_batch}x{n_code} batch x code mesh")
+        return Mesh(np.array(devs[:need]).reshape(n_batch, n_code),
+                    ("batch", "code"))
+    return Mesh(np.array(devs[:n_code]), ("code",))
+
+
 def local_batch(global_batch: int, mesh) -> int:
     """Per-device share of a global batch; validates divisibility."""
     n = mesh.devices.size

@@ -66,3 +66,59 @@ def test_uneven_check_split(mesh):
     xr, _ = BPDecoder(code.graph, "SPA", max_iter=10,
                       check_init=False).decode(llr)
     assert (np.asarray(xs) != np.asarray(xr)).any(axis=1).sum() <= 1
+
+
+def test_harness_code_mesh_end_to_end(mesh):
+    """A margulis Monte-Carlo through the harness with parity checks
+    sharded over the 8-device "code" mesh: tallies must match the
+    single-device run within combined MC error (same algorithm; float
+    sum grouping differs)."""
+    import math
+
+    from ldpc_decoders_tpu.harness import MonteCarloRunner, RunConfig
+
+    cfg = RunConfig(channel="biawgn", code="margulis", decoder="MSA",
+                    params=[1.5], codeword=1, min_wec=25, batch=128,
+                    max_iter=10, log_freq=1e9)
+    res_sh = MonteCarloRunner(cfg, mesh=mesh).run()[1.5]
+    res_one = MonteCarloRunner(cfg).run()[1.5]
+    assert res_sh["tot"] >= 128
+    se = math.sqrt(res_sh["wer"] / res_sh["tot"]
+                   + res_one["wer"] / res_one["tot"])
+    assert abs(res_sh["wer"] - res_one["wer"]) < 6 * se + 1e-9
+
+
+def test_harness_code_mesh_2d(mesh):
+    """4 x 2 batch x code mesh end-to-end: batch shards over one axis,
+    checks over the other; statistics match the unsharded run."""
+    import math
+
+    from ldpc_decoders_tpu.harness import MonteCarloRunner, RunConfig
+    from ldpc_decoders_tpu.parallel import code_mesh
+
+    m2 = code_mesh(2, 4)
+    assert dict(m2.shape) == {"batch": 4, "code": 2}
+    cfg = RunConfig(channel="bsc", code="1200_3_6_ldpc", decoder="MSA",
+                    params=[0.06], codeword=1, min_wec=25, batch=128,
+                    max_iter=10, log_freq=1e9)
+    res_sh = MonteCarloRunner(cfg, mesh=m2).run()[0.06]
+    res_one = MonteCarloRunner(cfg).run()[0.06]
+    se = math.sqrt(res_sh["wer"] / res_sh["tot"]
+                   + res_one["wer"] / res_one["tot"])
+    assert abs(res_sh["wer"] - res_one["wer"]) < 6 * se + 1e-9
+
+
+def test_harness_code_mesh_spa_reference_policy_refused(mesh):
+    """Default inf_policy='reference' must refuse the code-sharded SPA
+    (the sharded kernel implements 'saturate' only) instead of silently
+    generating off-golden curves."""
+    from ldpc_decoders_tpu.harness import MonteCarloRunner, RunConfig
+
+    cfg = RunConfig(channel="bsc", code="1200_3_6_ldpc", decoder="SPA",
+                    params=[0.06], codeword=0, min_wec=5, batch=64)
+    with pytest.raises(ValueError, match="saturate"):
+        MonteCarloRunner(cfg, mesh=mesh)
+    cfg2 = RunConfig(channel="bsc", code="1200_3_6_ldpc", decoder="SPA",
+                     params=[0.06], codeword=0, min_wec=5, batch=64,
+                     inf_policy="saturate")
+    MonteCarloRunner(cfg2, mesh=mesh)  # constructs fine
