@@ -20,19 +20,25 @@ def _run(extra, common, name):
     vg.run(vg.setup_parser().parse_args(argv))
 
 
-def _conf(chl, cde):
-    return ["--and", f"{chl}-{cde}", "--error", "ber",
+def _conf(chl, cde, err="ber"):
+    return ["--and", f"{chl}-{cde}", "--error", err,
             "--legend_format", "decoder", "--title", f"{chl.upper()}, {cde}"]
 
 
 @reg_case
 def HMG(common):
-    """Per-channel decoder comparison on Hamming(7,4)
-    (reference plot_results.py HMG case)."""
+    """Per-channel decoder comparison on Hamming(7,4), both error
+    metrics. The reference's current plot_results.py HMG emits BER only,
+    but its committed plot set carries both vintages (HMG_BEC.png = WER,
+    HMG_BEC_BER.png = BER); mapping here: HMG__BEC = BER (current code
+    parity), HMG__BEC_WER = the committed WER variant."""
     for chl in ("bec", "bsc", "biawgn"):
         _run(_conf(chl, "7_4_hamming")
              + ["--or_", "ML", "SPA", "MSA", "LP", "ADMM"],
              common, f"HMG__{chl.upper()}")
+        _run(_conf(chl, "7_4_hamming", err="wer")
+             + ["--or_", "ML", "SPA", "MSA", "LP", "ADMM"],
+             common, f"HMG__{chl.upper()}_WER")
 
 
 @reg_case
