@@ -1,0 +1,77 @@
+"""Harness-route throughput: what a CAMPAIGN actually gets per chip.
+
+bench.py / bench_all.py time hand-built decoder chunks; this script
+times MonteCarloRunner itself (sampling + decode + psum tallies +
+adaptive loop) on the flagship campaign workloads, once with the
+default kernel='auto' (fused Pallas where proven equivalent,
+probe-with-fallback) and once with kernel='xla' — the delta is the
+wall-clock a REG/ensemble campaign saves from the auto-selection.
+
+Usage:  python scripts/bench_harness.py [--words N] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--words", type=int, default=500_000,
+                    help="words per measurement point")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    from ldpc_decoders_tpu.harness import MonteCarloRunner, RunConfig
+
+    # (name, cfg kwargs) — campaign operating points (def_cases params).
+    CASES = [
+        ("biawgn_msa", dict(channel="biawgn", decoder="MSA", params=[3.0],
+                            codeword=1, batch=16384,
+                            msg_dtype="bfloat16")),
+        ("biawgn_spa_ref", dict(channel="biawgn", decoder="SPA",
+                                params=[3.0], codeword=0, batch=8192,
+                                msg_dtype="bfloat16")),
+        ("bec_spa", dict(channel="bec", decoder="SPA", params=[0.3],
+                         codeword=0, batch=16384)),
+        ("admm", dict(channel="biawgn", decoder="ADMM", params=[3.0],
+                      codeword=1, batch=2048, max_iter=50)),
+    ]
+
+    lines = []
+    for name, kw in CASES:
+        if args.only and name not in args.only:
+            continue
+        for kernel in ("auto", "xla"):
+            cfg = RunConfig(code="1200_3_6_ldpc", min_wec=10 ** 9,
+                            max_words=args.words, log_freq=1e9,
+                            kernel=kernel, max_iter=kw.pop("max_iter", 10),
+                            **kw)
+            kw["max_iter"] = cfg.max_iter
+            runner = MonteCarloRunner(cfg)
+            t0 = time.time()
+            res = runner.run()[cfg.params[0]]
+            wall = time.time() - t0
+            route = getattr(getattr(runner.dec, "dec", None), "perm", "?")
+            line = {"metric": f"harness_words_per_sec_{name}_{kernel}",
+                    "route": route, "value": round(res["words_per_sec"], 1),
+                    "unit": "codewords/s", "tot": res["tot"],
+                    "wall_s": round(wall, 1)}
+            lines.append(line)
+            print(json.dumps(line), flush=True)
+
+    if args.out:
+        with open(args.out, "a") as fp:
+            for line in lines:
+                fp.write(json.dumps(line) + "\n")
+
+
+if __name__ == "__main__":
+    main()
