@@ -370,8 +370,17 @@ def main(argv=None):
     log = logging.getLogger(".".join(id_val))
 
     sim = LTSimulator(args.k, args.n, args.c, args.delta)
-    rng = np.random.default_rng(args.seed)
-    arr = []
+    # Resume semantics: ``count`` is the TOTAL target — an existing
+    # artifact's sims are kept and extended. The PRNG stream is seeded by
+    # (seed, #existing) so resumed runs draw disjoint sims without the
+    # caller having to manage seeds.
+    from ldpc_decoders_tpu.utils.file import load_json
+    existing = load_json(saver.file_path)
+    arr = [int(v) for v in existing["arr"]] \
+        if existing and "arr" in existing else []
+    if arr:
+        log.info("resuming from %d committed sims", len(arr))
+    rng = np.random.default_rng([args.seed, len(arr)])
     while len(arr) < args.count:
         res, _, _ = sim.run(rng, min(args.batch, args.count - len(arr)))
         arr.extend(int(r) for r in res)
