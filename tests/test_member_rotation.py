@@ -136,3 +136,23 @@ def test_rotation_rejects_random_codeword(monkeypatch):
         MonteCarloRunner(
             RunConfig("bsc", names[0], "ADMM", params=[0.05], min_wec=2),
             rotating=True)
+
+
+def test_rotation_through_pallas_route(monkeypatch):
+    """kernel='pallas' (interpreter on CPU) + member rotation: the fused
+    kernel's slot tables swap per member through the same compiled chunk
+    and every member's tallies match its fresh-runner run (the BEC
+    ternary kernel is bit-equal to the gather route)."""
+    codes = _reg_members(n=48, count=3)
+    names = _register(codes, monkeypatch)
+    base = RunConfig(channel="bec", code=names[0], decoder="SPA",
+                     params=[0.35], codeword=0, min_wec=20, batch=128,
+                     max_iter=10, log_freq=1e9, kernel="pallas")
+    res_rot = run_rotating_members(base, names)
+    for i, name in enumerate(names):
+        fresh = MonteCarloRunner(
+            dataclasses.replace(base, code=name, seed=base.seed + i,
+                                kernel="xla")).run()
+        a, b = res_rot[name][0.35], fresh[0.35]
+        assert (a["tot"], a["wec"], a["bec"]) == \
+            (b["tot"], b["wec"], b["bec"]), (name, a, b)
