@@ -269,7 +269,11 @@ class MonteCarloRunner:
                 raise ValueError("kernel='pallas' needs a device decoder")
             return
         if not forced:
-            if jax.default_backend() == "cpu":
+            try:
+                backend = jax.default_backend()
+            except Exception:   # backend outage: decide later ops' fate
+                return          # elsewhere, keep construction working
+            if backend == "cpu":
                 return  # interpreter-mode kernels are for tests only
             if cfg.max_iter <= 0:
                 return  # convergence runs: keep per-call work bounded
