@@ -90,7 +90,9 @@ def plot_files(data_dir, cs, agg=False, plots_dir=None):
         if not data or data.get("type") != "luby":
             continue
         if float(data["c"]) in cs:
-            out = (os.path.join(plots_dir, file_name + ".png")
+            # Reference plot naming: luby_<c>.png
+            # (/root/reference/data/plots/luby_0.01.png et al.)
+            out = (os.path.join(plots_dir, f"luby_{data['c']}.png")
                    if plots_dir else None)
             plot_hist(data["arr"], int(data["k"]), int(data["n"]),
                       float(data["c"]), agg=agg, out=out)
