@@ -285,6 +285,16 @@ class MonteCarloRunner:
         kw = cfg.decoder_kwargs()
         kw["perm"] = "pallas"
         if cfg.decoder in ("SPA", "MSA") and cfg.channel != "bec":
+            if (forced and jnp.dtype(cfg.msg_dtype) != jnp.bfloat16
+                    and not self._kernel_policy_ok()):
+                # Refuse rather than silently bf16-ing a float32 workload
+                # the policy table calls unsafe (BSC tie structure) —
+                # same loud-refusal contract as the edge-sharded SPA.
+                raise ValueError(
+                    "kernel='pallas' BP kernels run bfloat16 messages, "
+                    "which is not validated for this channel at float32 "
+                    "semantics; opt in explicitly with msg_dtype="
+                    "'bfloat16' (--bf16)")
             kw["msg_dtype"] = jnp.bfloat16
         try:
             new_dec = self.mod.DECODERS[cfg.decoder](self.code, **kw)
@@ -492,7 +502,13 @@ class MonteCarloRunner:
             self._probe_pending = False
             try:
                 jax.block_until_ready(decode_chunk(0))
+                self._fallback_dec = None   # release the XLA tables
             except Exception as e:  # noqa: BLE001
+                if "UNAVAILABLE" in str(e):
+                    # Transient TPU worker outage, not kernel
+                    # ineligibility — fail loudly instead of silently
+                    # downgrading the whole campaign to the XLA route.
+                    raise
                 self._abandon_pallas(e)
 
         from collections import deque

@@ -69,6 +69,9 @@ def code_mesh(n_code: int, n_batch: int = 0):
                              f"{n_batch}x{n_code} batch x code mesh")
         return Mesh(np.array(devs[:need]).reshape(n_batch, n_code),
                     ("batch", "code"))
+    if len(devs) < n_code:
+        raise ValueError(f"need {n_code} devices for a {n_code}-way "
+                         f"code mesh, have {len(devs)}")
     return Mesh(np.array(devs[:n_code]), ("code",))
 
 

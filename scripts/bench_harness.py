@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
 
+    from bench import wait_for_backend
+    wait_for_backend()
+
     from ldpc_decoders_tpu.harness import MonteCarloRunner, RunConfig
 
     # (name, cfg kwargs) — campaign operating points (def_cases params).

@@ -41,9 +41,23 @@ def test_forced_pallas_matches_xla_bec(reg_code_name):
 
 def test_forced_pallas_rejects_ineligible():
     """Hamming(7,4) is irregular (padded slots) — forcing the fused
-    kernel must raise, not silently fall back."""
-    with pytest.raises(Exception):
+    kernel must raise the eligibility error, not silently fall back."""
+    with pytest.raises(ValueError, match="regular"):
         MonteCarloRunner(_cfg("7_4_hamming", kernel="pallas"))
+
+
+def test_forced_pallas_refuses_silent_bf16(reg_code_name):
+    """kernel='pallas' on a float32 BSC workload must refuse (the BP
+    kernels run bf16 messages, unvalidated for the BSC tie structure)
+    instead of silently changing message precision; explicit bfloat16
+    opts in."""
+    with pytest.raises(ValueError, match="bfloat16"):
+        MonteCarloRunner(_cfg(reg_code_name, channel="bsc",
+                              decoder="MSA", codeword=1,
+                              kernel="pallas"))
+    MonteCarloRunner(_cfg(reg_code_name, channel="bsc", decoder="MSA",
+                          codeword=1, kernel="pallas",
+                          msg_dtype="bfloat16"))  # constructs fine
 
 
 def test_auto_stays_xla_on_cpu(reg_code_name):
