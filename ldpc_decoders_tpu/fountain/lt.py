@@ -381,12 +381,27 @@ def main(argv=None):
     if arr:
         log.info("resuming from %d committed sims", len(arr))
     rng = np.random.default_rng([args.seed, len(arr)])
+    # Host graph sampling (~0.2 s/sim at k=10000) overlaps the device
+    # peeling of the previous batch: one sampler thread stays exactly a
+    # batch ahead (rng is only ever touched from that thread, and
+    # submissions are sequential, so the stream is deterministic).
+    from concurrent.futures import ThreadPoolExecutor
+    ex = ThreadPoolExecutor(1)
+    fut = ex.submit(sim.sample_batch, rng,
+                    min(args.batch, args.count - len(arr)))
+    pending = len(arr)
     while len(arr) < args.count:
-        res, _, _ = sim.run(rng, min(args.batch, args.count - len(arr)))
-        arr.extend(int(r) for r in res)
+        tables = fut.result()
+        pending += tables["msg"].shape[0]
+        nxt = min(args.batch, args.count - pending)
+        if nxt > 0:
+            fut = ex.submit(sim.sample_batch, rng, nxt)
+        res, _, _ = sim.simulate(tables)
+        arr.extend(int(r) for r in np.asarray(res))
         log.info("sims=%d mean=%.1f std=%.1f", len(arr),
                  float(np.mean(arr)), float(np.std(arr)))
         saver.add_all({"arr": arr})
+    ex.shutdown(wait=False)
     log.info("Finished all!")
 
 
