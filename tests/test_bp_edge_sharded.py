@@ -122,3 +122,13 @@ def test_harness_code_mesh_spa_reference_policy_refused(mesh):
                      params=[0.06], codeword=0, min_wec=5, batch=64,
                      inf_policy="saturate")
     MonteCarloRunner(cfg2, mesh=mesh)  # constructs fine
+
+
+def test_code_mesh_validates_device_count():
+    from ldpc_decoders_tpu.parallel import code_mesh
+    with pytest.raises(ValueError, match="need"):
+        code_mesh(64)
+    with pytest.raises(ValueError, match="need"):
+        code_mesh(8, 4)  # 32 devices on an 8-device host
+    m = code_mesh(8)
+    assert dict(m.shape) == {"code": 8}
