@@ -58,12 +58,12 @@ class BECSPADecoder:
         # bit-equal to the gather route including iteration counts (the
         # ternary dynamics are integer-exact; tests/test_pallas_bp.py),
         # measured 4.3x on a v5e (111k -> 480k cw/s at batch 16384).
-        # Opt-in like the other fused kernels: the decoder-level
-        # bit-equality is proven on the chip, but harness programs close
-        # over the ~9 MB resident tables (compile-payload hazard on the
-        # remote-compile backend), so campaigns keep the proven gather
-        # route unless the caller asks for the kernel. Requires a fully
-        # regular graph and tables_fit_vmem (see ops/pallas_bp.py).
+        # At the DECODER level "auto" stays on the proven gather route;
+        # the harness's kernel="auto" (round 3) promotes eligible runs
+        # to this kernel with a compile-probe at the real batch shape
+        # and a fallback (MonteCarloRunner._maybe_upgrade_kernel) —
+        # probing needs the batch size, which only the harness knows.
+        # Requires a fully regular graph and tables_fit_vmem.
         if perm == "auto":
             perm = "gather"
         if perm not in ("gather", "pallas"):
