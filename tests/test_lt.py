@@ -162,3 +162,73 @@ def test_lt_golden_scale_regression(c, m_fallback, s_fallback):
     se_s = math.sqrt(s_ref ** 2 / (2 * n_ref) + ours.std() ** 2
                      / (2 * ours.size))
     assert abs(ours.std() - s_ref) < 4 * se_s, (ours.std(), s_ref, se_s)
+
+
+def test_lt_exact_equivalence_with_reference_on_same_graphs():
+    """Definitive equivalence: feed the REFERENCE's own sampled generator
+    matrices (and seeds) into our incremental peeler — num_sym must match
+    the reference simulator EXACTLY, sim by sim. Proves the one-pass
+    confluent peeling + stuck-jump equals luby.py:52-88's
+    restart-per-prefix loop; all distributional differences in the
+    golden-scale artifacts are then pure RNG noise."""
+    import os
+    import sys
+    import types
+
+    import jax.numpy as jnp
+
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(ref_src):
+        pytest.skip("reference tree not available")
+    sys.path.insert(0, ref_src)
+    sys.modules.setdefault("utils", types.ModuleType("utils"))
+    try:
+        import luby as ref_luby
+    except Exception as e:  # pragma: no cover - environment-specific
+        pytest.skip(f"reference luby not importable: {e}")
+    finally:
+        sys.path.remove(ref_src)
+
+    from ldpc_decoders_tpu.fountain.lt import LTSimulator
+
+    k, n, c, delta = 300, 380, 0.1, 0.5
+    omega = ref_luby.get_soliton(k, c, delta)
+    sim = LTSimulator(k, n, c, delta)
+    e_pad = sim.e_pad
+
+    def tables_from_gen(gen_list, msgs):
+        out = {key: [] for key in ("edge_sym", "edge_var", "indptr_sym",
+                                   "perm_var", "indptr_var")}
+        for G in gen_list:
+            rows, cols = np.nonzero(G)
+            order = np.argsort(cols, kind="stable")
+            sym = cols[order].astype(np.int32)
+            var = rows[order].astype(np.int32)
+            t = sym.size
+            es = np.full(e_pad, n, np.int32)
+            ev = np.full(e_pad, k, np.int32)
+            es[:t] = sym
+            ev[:t] = var
+            ips = np.zeros(n + 2, np.int32)
+            np.cumsum(np.bincount(es, minlength=n + 1), out=ips[1:])
+            pv = np.argsort(ev, kind="stable").astype(np.int32)
+            ipv = np.zeros(k + 2, np.int32)
+            np.cumsum(np.bincount(ev, minlength=k + 1), out=ipv[1:])
+            for key, val in zip(out, (es, ev, ips, pv, ipv)):
+                out[key].append(val)
+        batched = {key: jnp.asarray(np.stack(v)) for key, v in out.items()}
+        batched["msg"] = jnp.asarray(np.stack(msgs).astype(np.int32))
+        return batched
+
+    N = 32
+    gens, msgs, ref_ns = [], [], []
+    for sid in range(N):
+        np.random.seed(sid)
+        gens.append(ref_luby.get_gen_mat(omega, n))
+        msgs.append(np.random.choice(a=[0, 1], size=k))
+        np.random.seed(sid)
+        _, ns = ref_luby.simulate_cw(sid, omega, n)
+        ref_ns.append(ns)
+
+    res, _, _ = sim.simulate(tables_from_gen(gens, msgs))
+    np.testing.assert_array_equal(np.asarray(res), np.array(ref_ns))
