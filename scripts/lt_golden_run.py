@@ -1,7 +1,13 @@
-"""Driver for the golden-scale LT artifact (500 sims, k=10000/n=12000).
+"""Driver for the golden-scale LT artifacts (k=10000/n=12000, all three
+reference operating points c in {0.01, 0.03, 0.1}).
 
 CPU backend forced via jax.config (env-var selection is overridden by
-the site PJRT plugin). Run:  python scripts/lt_golden_run.py
+the site PJRT plugin). ``count`` is a TOTAL target — lt.main resumes
+from a committed artifact, so re-running extends toward the reference's
+2750-sim scale. ~5 s/sim at c=0.01 on a 4-core host (packed-gather
+loop; docs/SCALING.md "LT fountain simulation").
+
+Run:  python scripts/lt_golden_run.py [c ...]
 """
 import os
 import sys
@@ -14,6 +20,12 @@ jax.config.update("jax_platforms", "cpu")
 
 from ldpc_decoders_tpu.fountain import lt
 
+TARGETS = {"0.01": 2750, "0.03": 600, "0.1": 600}
+
 if __name__ == "__main__":
-    lt.main(["10000", "12000", "0.01", "0.5", "500",
-             "--data_dir", "artifacts/data", "--seed", "7", "--batch", "50"])
+    cs = sys.argv[1:] or list(TARGETS)
+    data_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "data")
+    for c in cs:
+        lt.main(["10000", "12000", c, "0.5", str(TARGETS[c]),
+                 "--data_dir", data_dir, "--seed", "11", "--batch", "8"])
