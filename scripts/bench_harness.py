@@ -44,6 +44,10 @@ def main() -> None:
                                 msg_dtype="bfloat16")),
         ("bec_spa", dict(channel="bec", decoder="SPA", params=[0.3],
                          codeword=0, batch=16384)),
+        # BSC stays float32/XLA by policy (tie structure): this line
+        # documents the default-route rate for the BSC family.
+        ("bsc_msa_f32", dict(channel="bsc", decoder="MSA", params=[0.06],
+                             codeword=1, batch=16384)),
         ("admm", dict(channel="biawgn", decoder="ADMM", params=[3.0],
                       codeword=1, batch=2048, max_iter=50)),
     ]
