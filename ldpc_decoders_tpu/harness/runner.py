@@ -71,6 +71,17 @@ class RunConfig:
     # cascade the golden curves depend on; "saturate" is the clean,
     # ~2x-faster policy (decoders/bp.py, docs/SCALING.md).
     inf_policy: str = "reference"
+    # Adaptive pipeline fill: ramp the dispatch pipeline up from depth 1
+    # and cap in-flight chunks by the EXPECTED chunks remaining to
+    # min_wec (err/chunk running estimate). Fast sweep points then stop
+    # dispatching at the target instead of draining ``pipeline`` surplus
+    # chunks (a fixed depth-4 x batch-16384 pipeline decodes up to 64k
+    # words past the target at every easy point); deep tails see the
+    # full pipeline unchanged. The stopping rule still depends only on
+    # already-consumed tallies and every dispatched chunk is consumed,
+    # so the min-wec estimator stays unbiased (reference main.py:37
+    # semantics).
+    adaptive_pipeline: bool = True
     # Compute-kernel route: "auto" promotes the fused whole-loop Pallas
     # kernels (ops/pallas_bp.py, 1.4-4.3x the XLA routes on a v5e) when
     # the workload is eligible AND proven-equivalent for the channel
@@ -518,8 +529,11 @@ class MonteCarloRunner:
         depth = max(1, int(cfg.pipeline)) if not self.host_only else 1
         pending: deque = deque()
 
+        consumed = 0
+
         def consume():
-            nonlocal tot, wec, bec, hist, t_warm, tot_warm
+            nonlocal tot, wec, bec, hist, t_warm, tot_warm, consumed
+            consumed += 1
             w, b, iters = pending.popleft()
             wec += int(w)
             bec += int(b)
@@ -536,13 +550,30 @@ class MonteCarloRunner:
                             np.clip(np.asarray(iters), 0, ITER_HIST_LEN - 1),
                             minlength=ITER_HIST_LEN)
 
+        def effective_depth(tick: int) -> int:
+            """Pipeline-fill target for this tick (adaptive_pipeline).
+
+            Two caps on cfg.pipeline: a 1-2-4-... ramp (one early sync,
+            so a point the first chunk already finishes never builds a
+            surplus pipeline), and — once errors have been observed —
+            the expected number of chunks remaining to min_wec, so
+            dispatch stops when the words already in flight are
+            expected to cross the target."""
+            if not cfg.adaptive_pipeline:
+                return depth
+            eff = min(depth, 1 << min(tick - 1, 10))
+            if wec > 0 and consumed > 0 and wec < cfg.min_wec:
+                exp_remaining = (cfg.min_wec - wec) * consumed / wec
+                eff = min(eff, max(1, int(np.ceil(exp_remaining))))
+            return eff
+
         chunk_i = 0
         while wec < cfg.min_wec:
             with prof.start():
                 chunk_i += 1
                 with prof.tag("dispatch"):
                     pending.append(decode_chunk(chunk_i))
-                if len(pending) >= depth:
+                while len(pending) >= effective_depth(chunk_i):
                     with prof.tag("consume"):
                         consume()
                 if time.time() - t_log > cfg.log_freq:
@@ -557,6 +588,11 @@ class MonteCarloRunner:
         # reference main.py:37 samples until the target is crossed).
         while pending:
             consume()
+        # Dispatch accounting for tests/diagnostics: with
+        # adaptive_pipeline every dispatched chunk is consumed and easy
+        # points stop at (or near) the minimal chunk count.
+        self.last_dispatch_stats = {"dispatched": chunk_i,
+                                    "consumed": consumed}
 
         if self.stateful and self.mesh is not None:
             # Land the trained (replicated) params back on the decoder so

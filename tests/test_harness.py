@@ -337,3 +337,43 @@ def test_margulis_admm_golden_agreement():
     if not checked:
         pytest.skip("margulis ADMM artifacts not present yet")
     assert checked >= 8
+
+
+def test_adaptive_pipeline_stops_at_target():
+    """VERDICT r2 item 8: at easy sweep points the adaptive pipeline
+    must not keep a depth-4 surplus in flight past min_wec — and the
+    tallies must equal the fully synchronous (pipeline=1) run exactly,
+    because chunk i's contents depend only on (key, i, param)."""
+    base = dict(channel="bec", code="7_4_hamming", decoder="SPA",
+                params=[0.4], codeword=1, min_wec=20, batch=512,
+                log_freq=1e9)
+    # eps=0.4: wer ~0.36 -> ~185 errors/chunk, one chunk crosses.
+    r_ad = MonteCarloRunner(RunConfig(pipeline=4, **base))
+    res_ad = r_ad.run()[0.4]
+    assert r_ad.last_dispatch_stats["dispatched"] == 1, \
+        r_ad.last_dispatch_stats
+    r_sync = MonteCarloRunner(RunConfig(pipeline=1, **base))
+    res_sync = r_sync.run()[0.4]
+    assert (res_ad["tot"], res_ad["wec"], res_ad["bec"]) == \
+           (res_sync["tot"], res_sync["wec"], res_sync["bec"])
+    # Legacy fixed-depth policy keeps the pipeline full -> surplus.
+    r_fix = MonteCarloRunner(RunConfig(pipeline=4,
+                                       adaptive_pipeline=False, **base))
+    res_fix = r_fix.run()[0.4]
+    assert r_fix.last_dispatch_stats["dispatched"] == 4
+    assert res_fix["tot"] == 4 * 512
+
+
+def test_adaptive_pipeline_fills_at_deep_tails():
+    """Hard points must still reach the full pipeline depth (the ramp
+    and the expected-remaining cap only bite near the target)."""
+    cfg = RunConfig(channel="bec", code="7_4_hamming", decoder="SPA",
+                    params=[0.05], codeword=1, min_wec=10, batch=64,
+                    pipeline=4, log_freq=1e9)
+    r = MonteCarloRunner(cfg)
+    res = r.run()[0.05]
+    st = r.last_dispatch_stats
+    assert st["dispatched"] == st["consumed"]
+    # wer ~5e-3 at eps=0.05 -> ~0.3 errors/chunk -> dozens of chunks.
+    assert st["dispatched"] > 8
+    assert res["wec"] >= 10
