@@ -101,6 +101,11 @@ def setup_parser() -> argparse.ArgumentParser:
     parser.add_argument("--pipeline", type=int, default=4,
                         help="chunks in flight ahead of the host sync "
                              "(matches RunConfig.pipeline)")
+    parser.add_argument("--fixed-pipeline", action="store_true",
+                        help="disable the adaptive pipeline fill (keep "
+                             "the pipeline at full depth even when the "
+                             "in-flight words are expected to cross "
+                             "min_wec; RunConfig.adaptive_pipeline)")
     parser.add_argument("--profile", action="store_true",
                         help="log per-section LoopProfiler timings")
     return bind_parser_common(parser)
@@ -128,6 +133,7 @@ def main(argv=None) -> None:
         data_dir=args.data_dir, cache_dir=args.cache_dir,
         msg_dtype="bfloat16" if args.bf16 else "float32",
         pipeline=args.pipeline, profile=args.profile,
+        adaptive_pipeline=not args.fixed_pipeline,
         inf_policy=args.inf_policy, kernel=args.kernel)
 
     mesh = None
