@@ -243,10 +243,17 @@ class BPDecoder:
             raise ValueError(f"unknown perm mode {perm!r}")
         if perm == "pallas":
             # Fused whole-loop kernels (ops/pallas_bp.py): MSA and SPA
-            # (both inf policies), fully regular graphs, bfloat16
-            # messages.
-            if self.msg_dtype != jnp.bfloat16:
-                raise ValueError("perm='pallas' requires bfloat16 messages")
+            # (both inf policies), fully regular graphs. Messages are
+            # bfloat16 — except MSA, which also has an exact-float32
+            # variant (3-term split one-hot hops, f32 scratch) for
+            # tie-structured workloads (BSC) that must not be
+            # bf16-quantized.
+            if self.msg_dtype != jnp.bfloat16 and variant != "MSA":
+                raise ValueError("perm='pallas' requires bfloat16 "
+                                 "messages for SPA kernels")
+            if self.msg_dtype not in (jnp.bfloat16, jnp.float32):
+                raise ValueError(f"perm='pallas' does not support "
+                                 f"msg_dtype {self.msg_dtype}")
         self.perm = perm
         self.tables = self.member_tables(graph)
 
@@ -478,15 +485,17 @@ class BPDecoder:
             import jax
 
             from ldpc_decoders_tpu.ops import pallas_bp
+            kw = {}
             if self.variant == "MSA":
                 fn = pallas_bp.msa_decode_pallas
+                kw["exact_f32"] = self.msg_dtype == jnp.float32
             elif self.inf_policy == "reference":
                 fn = pallas_bp.spa_ref_decode_pallas
             else:
                 fn = pallas_bp.spa_decode_pallas
             return fn(t["pa"], t["ph"], llr.astype(jnp.float32),
                       max_iter=self.iter_cap, check_init=self.check_init,
-                      interpret=jax.default_backend() == "cpu")
+                      interpret=jax.default_backend() == "cpu", **kw)
         llr = llr.astype(jnp.float32)
         B = llr.shape[0]
 

@@ -91,11 +91,49 @@ def _bounded_loop(max_iter, body, carry, done_idx):
         cond, wbody, (jnp.zeros((), jnp.int32), carry))[1]
 
 
+def _onehot_dot(val, a, *, transposed, exact):
+    """f32 ``val`` against a bf16 ONE-HOT table, f32 accumulation.
+
+    ``exact=False``: one bf16 dot (input rounded to bf16 — the fast
+    route for bf16-message kernels, where val is bf16-valued anyway).
+
+    ``exact=True``: 3-term bf16 split. Every output element of a
+    one-hot product selects exactly one input element, so the result is
+    s1 + s2 + s3 where val = s1 + s2 + s3 is the split. The split is
+    lossless for float32: s1 = bf16(val) leaves a residual with <= 16
+    significand bits (Sterbenz-exact subtraction), s2 = bf16(r1) leaves
+    <= 8 bits, which s3 = bf16(r2) represents exactly. The explicit
+    (d1 + d2) + d3 sum then reconstructs val exactly because every
+    partial sum is representable ((s1+s2) spans <= 17 bits; the total
+    IS the original float32). Cost: 3 MXU passes instead of 1 — the
+    manual analogue of lax.Precision.HIGH, valid here only because the
+    table is one-hot (no cross products)."""
+    f32 = jnp.float32
+    dn = ((((1,), (1,)) if transposed else ((1,), (0,))), ((), ()))
+
+    def one(x):
+        return jax.lax.dot_general(x, a, dimension_numbers=dn,
+                                   preferred_element_type=f32)
+
+    if not exact:
+        return one(val.astype(jnp.bfloat16))
+    s1 = val.astype(jnp.bfloat16)
+    r1 = val - s1.astype(f32)
+    s2 = r1.astype(jnp.bfloat16)
+    s3 = (r1 - s2.astype(f32)).astype(jnp.bfloat16)
+    return (one(s1) + one(s2)) + one(s3)
+
+
 def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-            max_iter, check_init):
+            max_iter, check_init, exact_f32=False):
     f32 = jnp.float32
     llr = llr_ref[:].astype(f32)                     # [bs, V]
     bs = llr.shape[0]
+    msg_dt = f32 if exact_f32 else jnp.bfloat16
+
+    def hop(val, d, transposed):
+        return _onehot_dot(val, a_ref[d], transposed=transposed,
+                           exact=exact_f32)
 
     def syndrome_ok(xf):
         """[bs, V] bits -> [bs, 1] float 0/1. Only ever BROADCAST from
@@ -115,11 +153,8 @@ def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
     # regular vector ("replicated in destination but not in source").
     zero_c = None
     for d in range(Dc):
-        ed = jax.lax.dot_general(
-            llr.astype(jnp.bfloat16), a_ref[d],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32)              # [bs, C]
-        v2c[d] = ed.astype(jnp.bfloat16)
+        ed = hop(llr, d, transposed=True)            # [bs, C]
+        v2c[d] = ed.astype(msg_dt)
         if d == 0:
             zero_c = ed * 0.0
     zero_v = x0 * 0.0
@@ -149,8 +184,12 @@ def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
             am = jnp.where(lt, d, am)
             nneg = nneg + (planes[d] < 0).astype(jnp.int32)
 
-        # -- variable node: marginal via Dc one-hot dots.
-        marg = llr
+        # -- variable node: marginal via Dc one-hot dots. Sum the edge
+        # contributions FIRST and add the prior last — the same
+        # association as the XLA incidence route's llr + (flat @ a_sum)
+        # (only the within-sum order differs: slot-major here vs
+        # check-major in the single dot).
+        msum = None
         c2v = []
         for d in range(Dc):
             excl = nneg - (planes[d] < 0).astype(jnp.int32)
@@ -158,20 +197,17 @@ def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
             ext = jnp.where(am == d, m2, m1)
             cd = jnp.minimum(ext, big) * sgn
             c2v.append(cd)
-            marg = marg + jnp.dot(cd.astype(jnp.bfloat16), a_ref[d],
-                                  preferred_element_type=f32)
+            hd = hop(cd, d, transposed=False)
+            msum = hd if msum is None else msum + hd
+        marg = llr + msum
 
         x_new = (marg < 0).astype(f32)
         active_v = done_v == 0.0                     # [bs, V]
         active_c = done_c == 0.0                     # [bs, C]
         x_hat = jnp.where(active_v, x_new, x_hat)
-        marg_b = marg.astype(jnp.bfloat16)
         for d in range(Dc):
-            ed = jax.lax.dot_general(
-                marg_b, a_ref[d],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32)          # [bs, C]
-            nv = (ed - c2v[d]).astype(jnp.bfloat16)
+            ed = hop(marg, d, transposed=True)       # [bs, C]
+            nv = (ed - c2v[d]).astype(msg_dt)
             v2c[d] = jnp.where(active_c, nv, v2c[d][:])
         iters_c = iters_c + active_c.astype(f32)
         ok = syndrome_ok(x_hat)                      # [bs, 1]
@@ -187,15 +223,24 @@ def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
 
 def msa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
                       check_init: bool, block: int = 128,
-                      interpret: bool = False):
+                      interpret: bool = False, exact_f32: bool = False):
     """llr [B, V] -> (x_hat [B, V] int32, iters [B] int32).
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
     tests); on the chip the 10-iteration loop stays VMEM-resident and
     measures 532k cw/s vs the XLA incidence route's 378k at batch 16384
-    (bit-identical decisions and iteration counts)."""
+    (bit-identical decisions and iteration counts).
+
+    ``exact_f32=True`` keeps the message scratch in float32 and runs
+    every one-hot hop as a 3-term bf16 split (see ``_onehot_dot``) —
+    exact float32 message dynamics for tie-structured workloads (BSC)
+    that must NOT be bf16-quantized, at ~2x the scratch footprint and
+    3x the MXU passes of the bf16 kernel (block 64 keeps it under
+    VMEM with the flagship tables)."""
     Dc, C, V = a_tab.shape
     B0 = llr.shape[0]
+    if exact_f32:
+        block = min(block, 64)
     if B0 % block:
         pad = block - B0 % block
         llr = jnp.concatenate(
@@ -203,7 +248,9 @@ def msa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
     B = llr.shape[0]
     kern = functools.partial(_kernel, Dc=Dc, C=C, V=V,
                              max_iter=int(max_iter),
-                             check_init=bool(check_init))
+                             check_init=bool(check_init),
+                             exact_f32=bool(exact_f32))
+    msg_dt = jnp.float32 if exact_f32 else jnp.bfloat16
     x_hat, iters = pl.pallas_call(
         kern,
         grid=(B // block,),
@@ -226,7 +273,7 @@ def msa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Dc, block, C), jnp.bfloat16),
+            pltpu.VMEM((Dc, block, C), msg_dt),
         ],
         interpret=interpret,
     )(llr.astype(jnp.float32), a_tab, h_tab)

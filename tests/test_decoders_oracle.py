@@ -161,3 +161,33 @@ def test_bp_perm_routes_bit_identical(code_name, variant):
     for mode in ("matmul", "gather"):
         assert (outs["incidence"][0] == outs[mode][0]).all(), mode
         assert (outs["incidence"][1] == outs[mode][1]).all(), mode
+
+
+def test_bp_f32_routes_tie_jitter_bound():
+    """At deep-tie BSC operating points the f32 routes legitimately
+    differ in SUMMATION ORDER of the per-variable marginal, and the odd
+    exact tie flips: a handful of words per thousand differ in
+    iteration count and the occasional already-errored word differs in
+    its (wrong) decision bits. Pin that contract (the exact-f32 Pallas
+    kernel is held to the same bar, tests/test_pallas_bp.py); golden
+    BSC agreement is and must be statistical, not bit-exact."""
+    from ldpc_decoders_tpu.channels import bsc
+    from ldpc_decoders_tpu.decoders.bp import BPDecoder
+
+    code = codes.get_code("1200_3_6_ldpc")
+    B = 512
+    xw = jnp.zeros((B, code.get_n()), jnp.int32)
+    y = bsc.send(jax.random.PRNGKey(11), xw, 0.02)
+    llr = bsc.llr(y, 0.02)
+    outs = {}
+    for mode in ("incidence", "gather"):
+        dec = BPDecoder(code.graph, "MSA", max_iter=10,
+                        msg_dtype=jnp.float32, check_init=False, perm=mode)
+        xh, it = jax.jit(dec.decode)(llr)
+        outs[mode] = (np.asarray(xh), np.asarray(it))
+    dec_mism = int((outs["incidence"][0] != outs["gather"][0])
+                   .any(axis=1).sum())
+    assert dec_mism <= 0.01 * B, dec_mism
+    it_mism = int((outs["incidence"][1] != outs["gather"][1]).sum())
+    assert it_mism <= 0.03 * B, it_mism
+    assert it_mism + dec_mism > 0  # the jitter is real at this point

@@ -47,17 +47,24 @@ def test_forced_pallas_rejects_ineligible():
 
 
 def test_forced_pallas_refuses_silent_bf16(reg_code_name):
-    """kernel='pallas' on a float32 BSC workload must refuse (the BP
-    kernels run bf16 messages, unvalidated for the BSC tie structure)
-    instead of silently changing message precision; explicit bfloat16
-    opts in."""
+    """kernel='pallas' on a float32 BSC SPA workload must refuse (the
+    SPA kernels run bf16 messages, unvalidated for the BSC tie
+    structure) instead of silently changing message precision; explicit
+    bfloat16 opts in. MSA float32 no longer refuses — it routes to the
+    exact-f32 kernel variant, keeping f32 message dynamics."""
     with pytest.raises(ValueError, match="bfloat16"):
         MonteCarloRunner(_cfg(reg_code_name, channel="bsc",
+                              decoder="SPA", codeword=1,
+                              kernel="pallas", inf_policy="saturate"))
+    MonteCarloRunner(_cfg(reg_code_name, channel="bsc", decoder="SPA",
+                          codeword=1, kernel="pallas",
+                          inf_policy="saturate",
+                          msg_dtype="bfloat16"))  # constructs fine
+    r = MonteCarloRunner(_cfg(reg_code_name, channel="bsc",
                               decoder="MSA", codeword=1,
                               kernel="pallas"))
-    MonteCarloRunner(_cfg(reg_code_name, channel="bsc", decoder="MSA",
-                          codeword=1, kernel="pallas",
-                          msg_dtype="bfloat16"))  # constructs fine
+    assert r.dec.dec.perm == "pallas"
+    assert r.dec.dec.msg_dtype == np.float32
 
 
 def test_auto_stays_xla_on_cpu(reg_code_name):

@@ -61,7 +61,8 @@ def test_pallas_guards():
         slot_tables(irr.graph)  # padded slots -> refuse
     reg = get_code("1200_3_6_ldpc")
     with pytest.raises(ValueError):
-        BPDecoder(reg.graph, "MSA", perm="pallas")  # bf16 only
+        # SPA kernels are bf16-only (MSA float32 routes to exact_f32).
+        BPDecoder(reg.graph, "SPA", perm="pallas")
 
 
 def test_pallas_bec_spa_bit_equal(code):
@@ -181,3 +182,62 @@ def test_pallas_vmem_guard():
 
     assert tables_fit_vmem(get_code("1200_3_6_ldpc").graph)
     assert not tables_fit_vmem(get_code("margulis").graph)
+
+
+def test_pallas_msa_exact_f32_matches_incidence_bsc(code):
+    """exact_f32 kernel vs XLA incidence float32 (Precision.HIGHEST) on
+    the tie-structured BSC workload where bf16 messages are known-unsafe
+    (WER curve shifts ~10 sigma). The 3-term split hops reconstruct
+    every f32 value exactly; the only remaining freedom is the
+    per-variable SUMMATION ORDER of the marginal (slot-major in the
+    kernel vs check-major in the incidence dot), which flips the odd
+    tie at deep-tie operating points. That jitter is inherent to f32 on
+    this workload — the repo's own XLA routes (gather/matmul vs
+    incidence) show the same few-per-thousand divergence at p=0.02
+    (tests/test_decoders_oracle.py::test_bp_f32_routes_tie_jitter_bound)
+    — so the bar here is the one those routes hold each other to:
+    decisions equal on >=99% of words, iteration counts on >=97%."""
+    from ldpc_decoders_tpu.channels import bsc
+
+    B = 256
+    key = jax.random.PRNGKey(11)
+    xw = jnp.zeros((B, code.get_n()), jnp.int32)
+    for p in (0.02, 0.06):
+        y = bsc.send(jax.random.fold_in(key, int(p * 1000)), xw, p)
+        llr = bsc.llr(y, p)
+
+        ref = BPDecoder(code.graph, "MSA", max_iter=10,
+                        msg_dtype=jnp.float32, check_init=False,
+                        perm="incidence")
+        xr, ir = jax.jit(ref.decode)(llr)
+
+        a_tab, h_tab = slot_tables(code.graph)
+        xp, ip = msa_decode_pallas(a_tab, h_tab,
+                                   llr.astype(jnp.float32),
+                                   max_iter=10, check_init=False,
+                                   interpret=True, exact_f32=True)
+        dec_mism = int((np.asarray(xr) != np.asarray(xp))
+                       .any(axis=1).sum())
+        assert dec_mism <= 0.01 * B, (p, dec_mism)
+        it_mism = int((np.asarray(ir) != np.asarray(ip)).sum())
+        assert it_mism <= 0.03 * B, (p, it_mism)
+        assert int(np.abs(np.asarray(ir) - np.asarray(ip)).max()) <= 3
+
+
+def test_pallas_msa_exact_f32_decoder_route(code):
+    """BPDecoder(perm='pallas', msg_dtype=float32) routes MSA to the
+    exact kernel and matches the f32 incidence route on biAWGN too."""
+    B = 192
+    key = jax.random.PRNGKey(13)
+    xw = jnp.zeros((B, code.get_n()), jnp.int32)
+    y = biawgn.send(key, xw, 2.0)
+    llr = biawgn.llr(y, 2.0)
+    dp = BPDecoder(code.graph, "MSA", max_iter=10,
+                   msg_dtype=jnp.float32, check_init=False, perm="pallas")
+    dx = BPDecoder(code.graph, "MSA", max_iter=10,
+                   msg_dtype=jnp.float32, check_init=False,
+                   perm="incidence")
+    xp, ip = jax.jit(dp.decode)(llr)
+    xr, ir = jax.jit(dx.decode)(llr)
+    np.testing.assert_array_equal(np.asarray(xr), np.asarray(xp))
+    np.testing.assert_array_equal(np.asarray(ir), np.asarray(ip))
