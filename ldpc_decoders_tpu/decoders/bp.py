@@ -244,13 +244,10 @@ class BPDecoder:
         if perm == "pallas":
             # Fused whole-loop kernels (ops/pallas_bp.py): MSA and SPA
             # (both inf policies), fully regular graphs. Messages are
-            # bfloat16 — except MSA, which also has an exact-float32
-            # variant (3-term split one-hot hops, f32 scratch) for
+            # bfloat16, or float32 via the exact-f32 kernel variants
+            # (3-term split one-hot hops, f32 scratch) for
             # tie-structured workloads (BSC) that must not be
             # bf16-quantized.
-            if self.msg_dtype != jnp.bfloat16 and variant != "MSA":
-                raise ValueError("perm='pallas' requires bfloat16 "
-                                 "messages for SPA kernels")
             if self.msg_dtype not in (jnp.bfloat16, jnp.float32):
                 raise ValueError(f"perm='pallas' does not support "
                                  f"msg_dtype {self.msg_dtype}")
@@ -485,17 +482,16 @@ class BPDecoder:
             import jax
 
             from ldpc_decoders_tpu.ops import pallas_bp
-            kw = {}
             if self.variant == "MSA":
                 fn = pallas_bp.msa_decode_pallas
-                kw["exact_f32"] = self.msg_dtype == jnp.float32
             elif self.inf_policy == "reference":
                 fn = pallas_bp.spa_ref_decode_pallas
             else:
                 fn = pallas_bp.spa_decode_pallas
             return fn(t["pa"], t["ph"], llr.astype(jnp.float32),
                       max_iter=self.iter_cap, check_init=self.check_init,
-                      interpret=jax.default_backend() == "cpu", **kw)
+                      interpret=jax.default_backend() == "cpu",
+                      exact_f32=self.msg_dtype == jnp.float32)
         llr = llr.astype(jnp.float32)
         B = llr.shape[0]
 

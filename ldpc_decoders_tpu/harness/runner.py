@@ -295,28 +295,16 @@ class MonteCarloRunner:
                 return
         kw = cfg.decoder_kwargs()
         kw["perm"] = "pallas"
-        if cfg.decoder == "MSA" and cfg.channel != "bec":
-            # MSA has both kernels: bf16 messages, and the exact-f32
-            # variant (3-term split hops) for tie-structured f32
-            # workloads (BSC). Auto-promoted biAWGN f32 keeps the
-            # historical downgrade to the faster bf16 kernel
-            # (statistically validated vs goldens); everything else
-            # passes msg_dtype through — float32 selects exact_f32.
+        if cfg.decoder in ("SPA", "MSA") and cfg.channel != "bec":
+            # The BP kernels come in bf16 and exact-f32 variants
+            # (3-term split hops for tie-structured f32 workloads —
+            # BSC). Auto-promoted biAWGN f32 keeps the historical
+            # downgrade to the faster bf16 kernel (statistically
+            # validated vs goldens); everything else passes msg_dtype
+            # through — float32 selects the exact_f32 kernels.
             if (jnp.dtype(cfg.msg_dtype) != jnp.bfloat16 and not forced
                     and cfg.channel == "biawgn"):
                 kw["msg_dtype"] = jnp.bfloat16
-        elif cfg.decoder == "SPA" and cfg.channel != "bec":
-            if (forced and jnp.dtype(cfg.msg_dtype) != jnp.bfloat16
-                    and not self._kernel_policy_ok()):
-                # Refuse rather than silently bf16-ing a float32 workload
-                # the policy table calls unsafe (BSC tie structure) —
-                # same loud-refusal contract as the edge-sharded SPA.
-                raise ValueError(
-                    "kernel='pallas' SPA kernels run bfloat16 messages, "
-                    "which is not validated for this channel at float32 "
-                    "semantics; opt in explicitly with msg_dtype="
-                    "'bfloat16' (--bf16)")
-            kw["msg_dtype"] = jnp.bfloat16
         try:
             new_dec = self.mod.DECODERS[cfg.decoder](self.code, **kw)
         except Exception as e:  # irregular graph, unsupported mode, ...

@@ -417,14 +417,20 @@ def _phi(x):
 
 
 def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-                max_iter, check_init):
+                max_iter, check_init, exact_f32=False):
     """SPA (inf_policy='saturate'), whole loop VMEM-resident. Same
     structure as the MSA kernel; the check node is the phi-domain
     leave-one-out computed with the same prefix/suffix fold ordering as
-    ops/graph.exclusive_sum."""
+    ops/graph.exclusive_sum. ``exact_f32``: f32 scratch + split hops
+    (see ``_onehot_dot``)."""
     f32 = jnp.float32
     llr = llr_ref[:].astype(f32)
     bs = llr.shape[0]
+    msg_dt = f32 if exact_f32 else jnp.bfloat16
+
+    def hop(val, d, transposed):
+        return _onehot_dot(val, a_ref[d], transposed=transposed,
+                           exact=exact_f32)
 
     def syndrome_ok(xf):
         s = jnp.dot(xf.astype(jnp.bfloat16), h_ref[:],
@@ -435,11 +441,8 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
     x0 = (llr < 0).astype(f32)
     zero_c = None
     for d in range(Dc):
-        ed = jax.lax.dot_general(
-            llr.astype(jnp.bfloat16), a_ref[d],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
-        v2c[d] = ed.astype(jnp.bfloat16)
+        ed = hop(llr, d, transposed=True)
+        v2c[d] = ed.astype(msg_dt)
         if d == 0:
             zero_c = ed * 0.0
     zero_v = x0 * 0.0
@@ -468,7 +471,8 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
             suf_ph.insert(0, suf_ph[0] + ph[d])
             suf_ng.insert(0, suf_ng[0] + neg[d])
 
-        marg = llr
+        # Edge contributions first, prior last (XLA route association).
+        msum = None
         c2v = []
         for d in range(Dc):
             excl_ph = pre_ph[d] + suf_ph[d]
@@ -477,20 +481,17 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
             sgn = (1 - 2 * (excl_ng % 2)).astype(f32)
             cd = ext * sgn
             c2v.append(cd)
-            marg = marg + jnp.dot(cd.astype(jnp.bfloat16), a_ref[d],
-                                  preferred_element_type=f32)
+            hd = hop(cd, d, transposed=False)
+            msum = hd if msum is None else msum + hd
+        marg = llr + msum
 
         x_new = (marg < 0).astype(f32)
         active_v = done_v == 0.0
         active_c = done_c == 0.0
         x_hat = jnp.where(active_v, x_new, x_hat)
-        marg_b = marg.astype(jnp.bfloat16)
         for d in range(Dc):
-            ed = jax.lax.dot_general(
-                marg_b, a_ref[d],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
-            nv = (ed - c2v[d]).astype(jnp.bfloat16)
+            ed = hop(marg, d, transposed=True)
+            nv = (ed - c2v[d]).astype(msg_dt)
             v2c[d] = jnp.where(active_c, nv, v2c[d][:])
         iters_c = iters_c + active_c.astype(f32)
         ok = syndrome_ok(x_hat)
@@ -506,10 +507,12 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
 
 def spa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
                       check_init: bool, block: int = 128,
-                      interpret: bool = False):
+                      interpret: bool = False, exact_f32: bool = False):
     """Saturate-policy SPA: llr [B, V] -> (x_hat, iters)."""
     Dc, C, V = a_tab.shape
     B0 = llr.shape[0]
+    if exact_f32:
+        block = min(block, 64)
     if B0 % block:
         pad = block - B0 % block
         llr = jnp.concatenate(
@@ -517,7 +520,8 @@ def spa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
     B = llr.shape[0]
     kern = functools.partial(_spa_kernel, Dc=Dc, C=C, V=V,
                              max_iter=int(max_iter),
-                             check_init=bool(check_init))
+                             check_init=bool(check_init),
+                             exact_f32=bool(exact_f32))
     x_hat, iters = pl.pallas_call(
         kern,
         grid=(B // block,),
@@ -540,7 +544,8 @@ def spa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Dc, block, C), jnp.bfloat16),
+            pltpu.VMEM((Dc, block, C),
+                       jnp.float32 if exact_f32 else jnp.bfloat16),
         ],
         interpret=interpret,
     )(llr.astype(jnp.float32), a_tab, h_tab)
@@ -555,14 +560,25 @@ _NAN_MIN = 1.5e9
 
 
 def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-                    max_iter, check_init):
+                    max_iter, check_init, exact_f32=False):
     """SPA with the reference's float64 inf/NaN cascade (inf_policy=
     'reference'), sentinel-encoded, whole loop VMEM-resident. Plane
     translation of decoders/bp.spa_check_rows_ref + _spa_ref_step for
-    fully regular graphs (no pad masks; row degree == Dc)."""
+    fully regular graphs (no pad masks; row degree == Dc).
+
+    ``exact_f32``: float32 message scratch + 3-term-split value hops
+    (see ``_onehot_dot``) for tie-structured f32 workloads (BSC). The
+    0/1 indicator dots stay single-pass — they are exact in bf16 — and
+    the sentinel encodings (+-1e9, 2e9) reconstruct exactly through the
+    split."""
     f32 = jnp.float32
     llr = llr_ref[:].astype(f32)
     bs = llr.shape[0]
+    msg_dt = f32 if exact_f32 else jnp.bfloat16
+
+    def hop(val, d, transposed):
+        return _onehot_dot(val, a_ref[d], transposed=transposed,
+                           exact=exact_f32)
 
     def syndrome_ok(xf):
         s = jnp.dot(xf.astype(jnp.bfloat16), h_ref[:],
@@ -573,11 +589,8 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
     x0 = (llr < 0).astype(f32)
     zero_c = None
     for d in range(Dc):
-        ed = jax.lax.dot_general(
-            llr.astype(jnp.bfloat16), a_ref[d],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
-        v2c[d] = ed.astype(jnp.bfloat16)
+        ed = hop(llr, d, transposed=True)
+        v2c[d] = ed.astype(msg_dt)
         if d == 0:
             zero_c = ed * 0.0
     zero_v = x0 * 0.0
@@ -637,17 +650,19 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         cm = [p < -_INF_MIN for p in c2v]
         finv = [jnp.where(a | b | c, 0.0, p)
                 for a, b, c, p in zip(cn, cp, cm, c2v)]
-        fin_sum = llr
+        # Edge contributions first, prior last — the XLA refmode route's
+        # association (marg_fin = llr + fin_sum, bp.py _spa_ref_step).
+        fsum = None
         n_p = zero_v
         n_n = zero_v
         for d in range(Dc):
-            fin_sum = fin_sum + jnp.dot(finv[d].astype(jnp.bfloat16),
-                                        a_ref[d],
-                                        preferred_element_type=f32)
+            fd = hop(finv[d], d, transposed=False)
+            fsum = fd if fsum is None else fsum + fd
             n_p = n_p + jnp.dot((cp[d] | cn[d]).astype(jnp.bfloat16),
                                 a_ref[d], preferred_element_type=f32)
             n_n = n_n + jnp.dot((cm[d] | cn[d]).astype(jnp.bfloat16),
                                 a_ref[d], preferred_element_type=f32)
+        fin_sum = llr + fsum
 
         is_nan = (n_p > 0.5) & (n_n > 0.5)
         is_p = ~is_nan & (n_p > 0.5)
@@ -662,12 +677,8 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         active_v = done_v == 0.0
         active_c = done_c == 0.0
         x_hat = jnp.where(active_v, x_new, x_hat)
-        me_b = marg_enc.astype(jnp.bfloat16)
         for d in range(Dc):
-            ed = jax.lax.dot_general(
-                me_b, a_ref[d],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
+            ed = hop(marg_enc, d, transposed=True)
             em_nan = ed > _NAN_MIN
             em_p = (ed > _INF_MIN) & ~em_nan
             em_n = ed < -_INF_MIN
@@ -675,7 +686,7 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
                            ed - finv[d])
             nv = jnp.where(em_n, jnp.where(cm[d], _NAN_S, -_INF_S), nv)
             nv = jnp.where(em_nan, _NAN_S, nv)
-            v2c[d] = jnp.where(active_c, nv.astype(jnp.bfloat16),
+            v2c[d] = jnp.where(active_c, nv.astype(msg_dt),
                                v2c[d][:])
         iters_c = iters_c + active_c.astype(f32)
         ok = syndrome_ok(x_hat)
@@ -691,13 +702,15 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
 
 def spa_ref_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
                           check_init: bool, block: int = 64,
-                          interpret: bool = False):
+                          interpret: bool = False, exact_f32: bool = False):
     """Reference-inf-policy SPA: llr [B, V] -> (x_hat, iters).
 
     Default tile 64: the class machinery keeps more live [bs, C]
     planes than the other kernels and block=128 exceeds VMEM."""
     Dc, C, V = a_tab.shape
     B0 = llr.shape[0]
+    if exact_f32:
+        block = min(block, 32)
     if B0 % block:
         pad = block - B0 % block
         llr = jnp.concatenate(
@@ -705,7 +718,8 @@ def spa_ref_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
     B = llr.shape[0]
     kern = functools.partial(_spa_ref_kernel, Dc=Dc, C=C, V=V,
                              max_iter=int(max_iter),
-                             check_init=bool(check_init))
+                             check_init=bool(check_init),
+                             exact_f32=bool(exact_f32))
     x_hat, iters = pl.pallas_call(
         kern,
         grid=(B // block,),
@@ -728,7 +742,8 @@ def spa_ref_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Dc, block, C), jnp.bfloat16),
+            pltpu.VMEM((Dc, block, C),
+                       jnp.float32 if exact_f32 else jnp.bfloat16),
         ],
         interpret=interpret,
     )(llr.astype(jnp.float32), a_tab, h_tab)

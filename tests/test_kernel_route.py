@@ -46,25 +46,17 @@ def test_forced_pallas_rejects_ineligible():
         MonteCarloRunner(_cfg("7_4_hamming", kernel="pallas"))
 
 
-def test_forced_pallas_refuses_silent_bf16(reg_code_name):
-    """kernel='pallas' on a float32 BSC SPA workload must refuse (the
-    SPA kernels run bf16 messages, unvalidated for the BSC tie
-    structure) instead of silently changing message precision; explicit
-    bfloat16 opts in. MSA float32 no longer refuses — it routes to the
-    exact-f32 kernel variant, keeping f32 message dynamics."""
-    with pytest.raises(ValueError, match="bfloat16"):
-        MonteCarloRunner(_cfg(reg_code_name, channel="bsc",
-                              decoder="SPA", codeword=1,
-                              kernel="pallas", inf_policy="saturate"))
-    MonteCarloRunner(_cfg(reg_code_name, channel="bsc", decoder="SPA",
-                          codeword=1, kernel="pallas",
-                          inf_policy="saturate",
-                          msg_dtype="bfloat16"))  # constructs fine
-    r = MonteCarloRunner(_cfg(reg_code_name, channel="bsc",
-                              decoder="MSA", codeword=1,
-                              kernel="pallas"))
-    assert r.dec.dec.perm == "pallas"
-    assert r.dec.dec.msg_dtype == np.float32
+def test_forced_pallas_f32_keeps_precision(reg_code_name):
+    """kernel='pallas' on float32 BSC workloads must NOT silently
+    change message precision: the decoder routes to the exact-f32
+    kernel variants (float32 scratch, 3-term split hops), keeping f32
+    message dynamics for the tie structure."""
+    for decoder in ("MSA", "SPA"):
+        r = MonteCarloRunner(_cfg(reg_code_name, channel="bsc",
+                                  decoder=decoder, codeword=1,
+                                  kernel="pallas"))
+        assert r.dec.dec.perm == "pallas"
+        assert r.dec.dec.msg_dtype == np.float32
 
 
 def test_auto_stays_xla_on_cpu(reg_code_name):

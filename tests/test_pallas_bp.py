@@ -61,8 +61,9 @@ def test_pallas_guards():
         slot_tables(irr.graph)  # padded slots -> refuse
     reg = get_code("1200_3_6_ldpc")
     with pytest.raises(ValueError):
-        # SPA kernels are bf16-only (MSA float32 routes to exact_f32).
-        BPDecoder(reg.graph, "SPA", perm="pallas")
+        # Kernels exist for bf16 (fast) and f32 (exact) messages only.
+        BPDecoder(reg.graph, "SPA", perm="pallas",
+                  msg_dtype=jnp.float16)
 
 
 def test_pallas_bec_spa_bit_equal(code):
@@ -241,3 +242,32 @@ def test_pallas_msa_exact_f32_decoder_route(code):
     xr, ir = jax.jit(dx.decode)(llr)
     np.testing.assert_array_equal(np.asarray(xr), np.asarray(xp))
     np.testing.assert_array_equal(np.asarray(ir), np.asarray(ip))
+
+
+def test_pallas_spa_exact_f32_kernels_bsc(code):
+    """Exact-f32 SPA kernels (saturate + reference policy) vs their XLA
+    f32 incidence routes on the BSC. In the interpreter the transcendental
+    (_phi) implementations coincide with the XLA routes', so agreement
+    should be at least as tight as the bf16 kernels' statistical bar."""
+    from ldpc_decoders_tpu.channels import bsc
+
+    B = 128
+    key = jax.random.PRNGKey(5)
+    xw = jnp.zeros((B, code.get_n()), jnp.int32)
+    y = bsc.send(key, xw, 0.05)
+    llr = bsc.llr(y, 0.05)
+
+    for policy in ("saturate", "reference"):
+        ref = BPDecoder(code.graph, "SPA", max_iter=20,
+                        msg_dtype=jnp.float32, perm="incidence",
+                        inf_policy=policy)
+        xr, ir = jax.jit(ref.decode)(llr)
+        pal = BPDecoder(code.graph, "SPA", max_iter=20,
+                        msg_dtype=jnp.float32, perm="pallas",
+                        inf_policy=policy)
+        xp, ip = pal.decode(llr)
+        bit_agree = (np.asarray(xr) == np.asarray(xp)).mean()
+        word_r = (np.asarray(xr) != 0).any(1)
+        word_p = (np.asarray(xp) != 0).any(1)
+        assert bit_agree >= 0.999, (policy, bit_agree)
+        assert (word_r == word_p).mean() >= 0.99, policy
