@@ -44,10 +44,17 @@ def main() -> None:
                                 msg_dtype="bfloat16")),
         ("bec_spa", dict(channel="bec", decoder="SPA", params=[0.3],
                          codeword=0, batch=16384)),
-        # BSC stays float32/XLA by policy (tie structure): this line
-        # documents the default-route rate for the BSC family.
+        # BSC auto stays float32/XLA until the exact-f32 kernels are
+        # chip-validated: these lines document the default route AND the
+        # forced exact-f32 fused route (3-term split hops) side by side.
         ("bsc_msa_f32", dict(channel="bsc", decoder="MSA", params=[0.06],
                              codeword=1, batch=16384)),
+        ("bsc_msa_f32_exact", dict(channel="bsc", decoder="MSA",
+                                   params=[0.06], codeword=1,
+                                   batch=16384, kernels=("pallas",))),
+        ("bsc_spa_ref_f32_exact", dict(channel="bsc", decoder="SPA",
+                                       params=[0.06], codeword=0,
+                                       batch=8192, kernels=("pallas",))),
         ("admm", dict(channel="biawgn", decoder="ADMM", params=[3.0],
                       codeword=1, batch=2048, max_iter=50)),
     ]
@@ -56,7 +63,7 @@ def main() -> None:
     for name, kw in CASES:
         if args.only and name not in args.only:
             continue
-        for kernel in ("auto", "xla"):
+        for kernel in kw.pop("kernels", ("auto", "xla")):
             cfg = RunConfig(code="1200_3_6_ldpc", min_wec=10 ** 9,
                             max_words=args.words, log_freq=1e9,
                             kernel=kernel, max_iter=kw.pop("max_iter", 10),
