@@ -246,11 +246,17 @@ class MonteCarloRunner:
           tests/test_pallas_bp.py) — always OK;
         - bec: the ternary kernel is bit-equal to the gather route
           (integer dynamics) — always OK;
-        - BP kernels require bfloat16 messages. biAWGN bf16 curves are
-          statistically validated against the goldens (docs/SCALING.md);
-          BSC LLRs are equal multiples of log((1-p)/p) and that tie
-          structure is NOT bf16-safe, so BSC only upgrades when the
-          caller explicitly chose bfloat16 messages.
+        - biAWGN BP: bf16-message kernels; bf16 curves are statistically
+          validated against the goldens (docs/SCALING.md), so float32
+          configs downgrade to the faster bf16 kernel;
+        - BSC BP: LLRs are equal multiples of log((1-p)/p) and that tie
+          structure is NOT bf16-safe, so float32 configs route to the
+          exact-f32 kernel variants (f32 message scratch, 3-term-split
+          one-hot hops) — chip-validated at 2.4x/1.4x the XLA routes
+          (MSA 271k vs 111k, refmode SPA 140k vs ~97k cw/s) and held to
+          the same cross-route f32 tie-jitter bar as the XLA routes
+          themselves (docs/SCALING.md "Exact-float32 fused BP kernels");
+          explicit bfloat16 still opts into the bf16 kernels.
         """
         cfg = self.cfg
         if cfg.decoder == "ADMM":
@@ -259,7 +265,7 @@ class MonteCarloRunner:
             return True
         if jnp.dtype(cfg.msg_dtype) == jnp.bfloat16:
             return True
-        return cfg.channel == "biawgn"
+        return cfg.channel in ("biawgn", "bsc")
 
     def _maybe_upgrade_kernel(self) -> None:
         """Swap the decoder for its fused-Pallas variant when the config

@@ -68,22 +68,28 @@ def test_auto_stays_xla_on_cpu(reg_code_name):
 
 
 def test_auto_policy_gates(reg_code_name, monkeypatch):
-    """Policy table under a (faked) TPU backend: bec/biawgn upgrade,
-    bsc-float32 does not (tie structure is not bf16-safe), explicit
-    bfloat16 opts bsc in. Decoder construction only — no dispatch."""
+    """Policy table under a (faked) TPU backend: bec/biawgn upgrade;
+    bsc-float32 upgrades to the exact-f32 kernel variants (message
+    precision preserved — the tie structure is not bf16-safe); explicit
+    bfloat16 opts bsc into the bf16 kernels; biawgn float32 downgrades
+    to the validated bf16 kernel. Decoder construction only — no
+    dispatch."""
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     up = MonteCarloRunner(_cfg(reg_code_name, channel="bec"))
     assert up.dec.dec.perm == "pallas" and up._probe_pending
     up = MonteCarloRunner(_cfg(reg_code_name, channel="biawgn",
                                decoder="MSA", codeword=1))
     assert up.dec.dec.perm == "pallas"
-    keep = MonteCarloRunner(_cfg(reg_code_name, channel="bsc",
-                                 decoder="MSA", codeword=1))
-    assert keep.dec.dec.perm != "pallas"
+    assert up.dec.dec.msg_dtype == jax.numpy.bfloat16
+    bsc_f32 = MonteCarloRunner(_cfg(reg_code_name, channel="bsc",
+                                    decoder="MSA", codeword=1))
+    assert bsc_f32.dec.dec.perm == "pallas"
+    assert bsc_f32.dec.dec.msg_dtype == np.float32
     optin = MonteCarloRunner(_cfg(reg_code_name, channel="bsc",
                                   decoder="MSA", codeword=1,
                                   msg_dtype="bfloat16"))
     assert optin.dec.dec.perm == "pallas"
+    assert optin.dec.dec.msg_dtype == jax.numpy.bfloat16
     conv = MonteCarloRunner(_cfg(reg_code_name, channel="bec",
                                  max_iter=0))
     assert conv.dec.dec.perm != "pallas"  # unbounded-iteration runs
