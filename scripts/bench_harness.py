@@ -44,19 +44,18 @@ def main() -> None:
                                 msg_dtype="bfloat16")),
         ("bec_spa", dict(channel="bec", decoder="SPA", params=[0.3],
                          codeword=0, batch=16384)),
-        # BSC auto stays float32/XLA until the exact-f32 kernels are
-        # chip-validated: these lines document the default route AND the
-        # forced exact-f32 fused route (3-term split hops) side by side.
+        # BSC float32 auto routes to the exact-f32 fused kernels (3-term
+        # split hops; chip-validated: MSA 271k vs 111k XLA, refmode SPA
+        # 140k vs ~97k).
         ("bsc_msa_f32", dict(channel="bsc", decoder="MSA", params=[0.06],
                              codeword=1, batch=16384)),
-        ("bsc_msa_f32_exact", dict(channel="bsc", decoder="MSA",
-                                   params=[0.06], codeword=1,
-                                   batch=16384, kernels=("pallas",))),
-        ("bsc_spa_ref_f32_exact", dict(channel="bsc", decoder="SPA",
-                                       params=[0.06], codeword=0,
-                                       batch=8192, kernels=("pallas",))),
+        ("bsc_spa_ref_f32", dict(channel="bsc", decoder="SPA",
+                                 params=[0.06], codeword=0, batch=8192)),
+        # ADMM wants the big batch: the fused kernel is iteration-bound
+        # and block-granular (66k cw/s at B=16384 vs 29k at B=2048 —
+        # docs/SCALING.md "ADMM throughput: the measured roofline").
         ("admm", dict(channel="biawgn", decoder="ADMM", params=[3.0],
-                      codeword=1, batch=2048, max_iter=50)),
+                      codeword=1, batch=16384, max_iter=50)),
     ]
 
     lines = []
