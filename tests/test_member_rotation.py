@@ -125,6 +125,30 @@ def test_rotation_irregular_edge_padding(monkeypatch):
     assert res[names[1]][0.35]["bec"] == want[0.35]["bec"]
 
 
+def test_rotation_through_pallas_exact_f32_bsc(monkeypatch):
+    """kernel='pallas' + float32 messages on BSC (the round-3 auto
+    default on TPU): rotation swaps the exact-f32 kernel's slot tables
+    per member. Fresh comparison runs use the SAME forced route — the
+    exact-f32 kernel's slot-major summation order differs from the XLA
+    incidence dot on exact ties (docs/SCALING.md), so cross-route
+    equality is statistical, but rotated-vs-fresh on one route must be
+    bit-identical."""
+    codes = _reg_members(n=48, count=3)
+    names = _register(codes, monkeypatch)
+    base = RunConfig(channel="bsc", code=names[0], decoder="MSA",
+                     params=[0.06], codeword=1, min_wec=20, batch=128,
+                     max_iter=10, log_freq=1e9, kernel="pallas")
+    res_rot = run_rotating_members(base, names)
+    for i, name in enumerate(names):
+        fresh = MonteCarloRunner(
+            dataclasses.replace(base, code=name, seed=base.seed + i))
+        assert fresh.dec.dec.perm == "pallas"
+        assert fresh.dec.dec.msg_dtype == np.float32
+        a, b = res_rot[name][0.06], fresh.run()[0.06]
+        assert (a["tot"], a["wec"], a["bec"]) == \
+            (b["tot"], b["wec"], b["bec"]), (name, a, b)
+
+
 def test_rotation_rejects_random_codeword(monkeypatch):
     codes = _reg_members(count=2)
     names = _register(codes, monkeypatch)
