@@ -20,7 +20,7 @@ jax.config.update("jax_platforms", "cpu")
 
 from ldpc_decoders_tpu.fountain import lt
 
-TARGETS = {"0.01": 2750, "0.03": 600, "0.1": 600}
+TARGETS = {"0.01": 2750, "0.03": 2750, "0.1": 2750}
 
 if __name__ == "__main__":
     cs = sys.argv[1:] or list(TARGETS)
