@@ -70,8 +70,10 @@ def main() -> None:
     # reference goldens), ~19% faster than float32 on v5e.
     # Fused whole-loop Pallas kernel (ops/pallas_bp.py): the 10-iteration
     # decode stays VMEM-resident per 128-word tile — bit-identical
-    # decisions and iteration counts vs the XLA incidence route, ~1.4x
-    # its throughput (532k vs 378k cw/s measured at this config).
+    # decisions and iteration counts vs the XLA incidence route. Measured
+    # ledger: artifacts/data/bench_all_r*.jsonl (r3: 635k pallas vs 387k
+    # incidence at this config).
+    route = "pallas"
     dec = BPDecoder(code.graph, "MSA", max_iter=10,
                     msg_dtype=jnp.bfloat16, perm="pallas")
     # Defensive: if the Pallas route ever fails to compile, fall back to
@@ -82,11 +84,16 @@ def main() -> None:
         probe = jax.jit(dec.decode)(
             jnp.zeros((16384, code.get_n()), jnp.float32))
         probe[0].block_until_ready()
-    except Exception:
+    except Exception as e:  # noqa: BLE001
+        if "UNAVAILABLE" in str(e):
+            # Transient worker outage AFTER wait_for_backend succeeded —
+            # fail loudly (the driver retries) rather than silently
+            # degrading the headline to the XLA route.
+            raise
+        route = "incidence"
         dec = BPDecoder(code.graph, "MSA", max_iter=10,
                         msg_dtype=jnp.bfloat16, perm="incidence")
-    # Batch sweep (v5e, depth-4 pipeline, incidence route): 8192 -> 267k
-    # cw/s, 16384 -> 381k, 32768 -> 360k.
+    # Batch 16384 is the measured sweet spot (depth-4 pipeline, v5e).
     batch = 16384
     x = jnp.zeros((batch, code.get_n()), jnp.int32)
 
@@ -129,6 +136,7 @@ def main() -> None:
         "value": round(cw_per_s, 1),
         "unit": "codewords/s",
         "vs_baseline": round(cw_per_s / PER_CHIP_TARGET, 3),
+        "route": route,
     }))
 
 

@@ -252,8 +252,8 @@ class MonteCarloRunner:
         - BSC BP: LLRs are equal multiples of log((1-p)/p) and that tie
           structure is NOT bf16-safe, so float32 configs route to the
           exact-f32 kernel variants (f32 message scratch, 3-term-split
-          one-hot hops) — chip-validated at 2.4x/1.4x the XLA routes
-          (MSA 271k vs 111k, refmode SPA 140k vs ~97k cw/s) and held to
+          one-hot hops) — chip-validated at 2.4x/3.1x the XLA routes
+          (MSA 271k vs 111k, refmode SPA 140k vs ~45k cw/s) and held to
           the same cross-route f32 tie-jitter bar as the XLA routes
           themselves (docs/SCALING.md "Exact-float32 fused BP kernels");
           explicit bfloat16 still opts into the bf16 kernels.
@@ -265,7 +265,14 @@ class MonteCarloRunner:
             return True
         if jnp.dtype(cfg.msg_dtype) == jnp.bfloat16:
             return True
-        return cfg.channel in ("biawgn", "bsc")
+        if cfg.channel == "biawgn":
+            return True
+        # BSC ties are only safe through the exact-f32 kernel variants,
+        # which decode_tables selects for msg_dtype == float32 precisely
+        # (decoders/bp.py). Any other dtype (float64 under x64) would
+        # silently quantize through the bf16-message kernel — refuse.
+        return (cfg.channel == "bsc"
+                and jnp.dtype(cfg.msg_dtype) == jnp.float32)
 
     def _maybe_upgrade_kernel(self) -> None:
         """Swap the decoder for its fused-Pallas variant when the config
