@@ -196,6 +196,16 @@ class BECSPADecoder:
         a stopping set). Returns (x_hats [K, B, V], iters [K, B])."""
         caps = tuple(int(c) for c in caps)
         assert list(caps) == sorted(caps) and caps[0] >= 1
+        if self.perm == "pallas":
+            import jax
+
+            from ldpc_decoders_tpu.ops.pallas_bp import bec_spa_decode_pallas
+            x_hats, iters = bec_spa_decode_pallas(
+                self.tables["pa"], self.tables["ph"], y,
+                max_iter=caps[-1],
+                interpret=jax.default_backend() == "cpu", caps=caps)
+            caps_arr = jnp.asarray(caps, jnp.int32)
+            return x_hats, jnp.minimum(iters[None], caps_arr[:, None])
         graph = self.graph
         B = y.shape[0]
         caps_arr = jnp.asarray(caps, jnp.int32)

@@ -540,10 +540,23 @@ class BPDecoder:
         caps = tuple(int(c) for c in caps)
         assert list(caps) == sorted(caps) and caps[0] >= 1
         if self.perm == "pallas":
-            raise NotImplementedError(
-                "decode_multi_cap needs the XLA step (the fused kernel "
-                "has no per-cap snapshots); build the decoder with "
-                "perm='incidence'/'gather' for cap sweeps")
+            import jax
+
+            from ldpc_decoders_tpu.ops import pallas_bp
+            t = self.tables
+            if self.variant == "MSA":
+                fn = pallas_bp.msa_decode_pallas
+            elif self.inf_policy == "reference":
+                fn = pallas_bp.spa_ref_decode_pallas
+            else:
+                fn = pallas_bp.spa_decode_pallas
+            x_hats, iters = fn(
+                t["pa"], t["ph"], llr.astype(jnp.float32),
+                max_iter=caps[-1], check_init=self.check_init,
+                interpret=jax.default_backend() == "cpu",
+                exact_f32=self.msg_dtype == jnp.float32, caps=caps)
+            caps_arr = jnp.asarray(caps, jnp.int32)
+            return x_hats, jnp.minimum(iters[None], caps_arr[:, None])
         t = self.tables
         llr = llr.astype(jnp.float32)
         B = llr.shape[0]

@@ -45,7 +45,7 @@ from ldpc_decoders_tpu.channels import CHANNELS
 from ldpc_decoders_tpu.codes import get_code
 from ldpc_decoders_tpu.decoders.bec_spa import BECSPADecoder
 from ldpc_decoders_tpu.decoders.bp import BPDecoder
-from ldpc_decoders_tpu.harness.runner import RunConfig
+from ldpc_decoders_tpu.harness.runner import RunConfig, kernel_policy_ok
 from ldpc_decoders_tpu.harness.saver import Saver
 
 
@@ -101,7 +101,70 @@ class CapSweepRunner:
                        ("min_wec", cfg.min_wec), ("max_iter", lbl)]
                 self.savers.append(Saver(cfg.data_dir, ids))
 
-        self._chunk = jax.jit(self._chunk_body)
+        self._fallback_dec = None
+        self._probe_pending = False
+        self._maybe_upgrade_kernel()
+        self._build_chunk()
+
+    def _build_chunk(self) -> None:
+        # Fresh closure, not jax.jit(self._chunk_body): equal bound
+        # methods hash equal, so after a kernel-route fallback the global
+        # pjit cache would replay the abandoned route's trace.
+        body = self._chunk_body
+        self._chunk = jax.jit(lambda *a, **kw: body(*a, **kw))
+
+    def _maybe_upgrade_kernel(self) -> None:
+        """Swap in the fused multi-cap Pallas decoder when cfg.kernel
+        allows it — the snapshot-plane twins of the single-cap kernels
+        (ops/pallas_bp.py ``caps=``), same policy/probe/fallback ladder
+        as MonteCarloRunner._maybe_upgrade_kernel."""
+        cfg = self.cfg
+        forced = cfg.kernel == "pallas"
+        if cfg.kernel == "xla":
+            return
+        if not forced:
+            try:
+                backend = jax.default_backend()
+            except Exception:   # backend outage: keep construction working
+                return
+            if backend == "cpu":
+                return  # interpreter-mode kernels are for tests only
+            if not kernel_policy_ok(cfg):
+                return
+            from ldpc_decoders_tpu.ops.pallas_bp import tables_fit_vmem
+            if not tables_fit_vmem(self.code.graph):
+                return
+        kw = dict(max_iter=self.caps[-1], iter_cap=cfg.iter_cap,
+                  msg_dtype=jnp.dtype(cfg.msg_dtype),
+                  inf_policy=cfg.inf_policy, perm="pallas")
+        # biAWGN f32 downgrades to the faster bf16 kernel (statistically
+        # validated); BSC f32 keeps f32 -> exact-f32 kernel variants.
+        if (cfg.channel == "biawgn" and not forced
+                and jnp.dtype(cfg.msg_dtype) != jnp.bfloat16):
+            kw["msg_dtype"] = jnp.bfloat16
+        try:
+            if cfg.channel == "bec":
+                new_dec = BECSPADecoder(self.code.graph, **kw)
+            else:
+                new_dec = BPDecoder(self.code.graph, cfg.decoder,
+                                    check_init=(cfg.channel != "biawgn"),
+                                    **kw)
+        except Exception as e:  # irregular graph, unsupported mode, ...
+            if forced:
+                raise
+            self.log.info("pallas kernel ineligible (%s); XLA route", e)
+            return
+        self._fallback_dec = self.dec
+        self.dec = new_dec
+        self._probe_pending = not forced
+
+    def _abandon_pallas(self, err: Exception) -> None:
+        self.log.warning(
+            "pallas kernel route failed at the run shape (%s: %s); "
+            "falling back to the XLA route", type(err).__name__, err)
+        self.dec = self._fallback_dec
+        self._fallback_dec = None
+        self._build_chunk()
 
     def _chunk_body(self, key, i, param):
         cfg = self.cfg
@@ -154,6 +217,19 @@ class CapSweepRunner:
                           tot, self.K, wec.min(), wec.max())
             for k, saver in enumerate(self.savers):
                 saver.add(param, cap_status(k))
+
+        if self._probe_pending:
+            # Compile-probe the multi-cap kernel at the REAL run shape
+            # (chunk index 0 is never used by the main loop; its tallies
+            # are discarded — outcome-independent, estimator unbiased).
+            self._probe_pending = False
+            try:
+                jax.block_until_ready(self._chunk(key, 0, param))
+                self._fallback_dec = None
+            except Exception as e:  # noqa: BLE001
+                if "UNAVAILABLE" in str(e):
+                    raise   # transient worker outage, not ineligibility
+                self._abandon_pallas(e)
 
         pending: deque = deque()
         depth = max(1, int(cfg.pipeline))

@@ -35,6 +35,46 @@ from ldpc_decoders_tpu.harness.saver import Saver
 ITER_HIST_LEN = 2000  # reference admm.py:36
 
 
+def kernel_policy_ok(cfg: "RunConfig") -> bool:
+    """Whether the fused Pallas route is *proven equivalent* for this
+    (channel, decoder, precision) — eligibility beyond mere
+    compilability:
+
+    - ADMM: kernel is trajectory-identical in f32 (hi/lo split dots,
+      tests/test_pallas_bp.py) — always OK;
+    - bec: the ternary kernel is bit-equal to the gather route
+      (integer dynamics) — always OK;
+    - biAWGN BP: bf16-message kernels; bf16 curves are statistically
+      validated against the goldens (docs/SCALING.md), so float32
+      configs downgrade to the faster bf16 kernel;
+    - BSC BP: LLRs are equal multiples of log((1-p)/p) and that tie
+      structure is NOT bf16-safe, so float32 configs route to the
+      exact-f32 kernel variants (f32 message scratch, 3-term-split
+      one-hot hops) — chip-validated at 2.4x/3.1x the XLA routes
+      (MSA 271k vs 111k, refmode SPA 140k vs ~45k cw/s) and held to
+      the same cross-route f32 tie-jitter bar as the XLA routes
+      themselves (docs/SCALING.md "Exact-float32 fused BP kernels");
+      explicit bfloat16 still opts into the bf16 kernels.
+
+    Shared by MonteCarloRunner and CapSweepRunner (the cap-sweep grid
+    runs the same five BP workloads with snapshot planes).
+    """
+    if cfg.decoder == "ADMM":
+        return not cfg.allow_pseudo
+    if cfg.channel == "bec":
+        return True
+    if jnp.dtype(cfg.msg_dtype) == jnp.bfloat16:
+        return True
+    if cfg.channel == "biawgn":
+        return True
+    # BSC ties are only safe through the exact-f32 kernel variants,
+    # which decode_tables selects for msg_dtype == float32 precisely
+    # (decoders/bp.py). Any other dtype (float64 under x64) would
+    # silently quantize through the bf16-message kernel — refuse.
+    return (cfg.channel == "bsc"
+            and jnp.dtype(cfg.msg_dtype) == jnp.float32)
+
+
 @dataclasses.dataclass
 class RunConfig:
     channel: str
@@ -238,41 +278,7 @@ class MonteCarloRunner:
             self._chunk = jax.jit(lambda *a, **kw: body(*a, **kw))
 
     def _kernel_policy_ok(self) -> bool:
-        """Whether the fused Pallas route is *proven equivalent* for this
-        (channel, decoder, precision) — eligibility beyond mere
-        compilability:
-
-        - ADMM: kernel is trajectory-identical in f32 (hi/lo split dots,
-          tests/test_pallas_bp.py) — always OK;
-        - bec: the ternary kernel is bit-equal to the gather route
-          (integer dynamics) — always OK;
-        - biAWGN BP: bf16-message kernels; bf16 curves are statistically
-          validated against the goldens (docs/SCALING.md), so float32
-          configs downgrade to the faster bf16 kernel;
-        - BSC BP: LLRs are equal multiples of log((1-p)/p) and that tie
-          structure is NOT bf16-safe, so float32 configs route to the
-          exact-f32 kernel variants (f32 message scratch, 3-term-split
-          one-hot hops) — chip-validated at 2.4x/3.1x the XLA routes
-          (MSA 271k vs 111k, refmode SPA 140k vs ~45k cw/s) and held to
-          the same cross-route f32 tie-jitter bar as the XLA routes
-          themselves (docs/SCALING.md "Exact-float32 fused BP kernels");
-          explicit bfloat16 still opts into the bf16 kernels.
-        """
-        cfg = self.cfg
-        if cfg.decoder == "ADMM":
-            return not cfg.allow_pseudo
-        if cfg.channel == "bec":
-            return True
-        if jnp.dtype(cfg.msg_dtype) == jnp.bfloat16:
-            return True
-        if cfg.channel == "biawgn":
-            return True
-        # BSC ties are only safe through the exact-f32 kernel variants,
-        # which decode_tables selects for msg_dtype == float32 precisely
-        # (decoders/bp.py). Any other dtype (float64 under x64) would
-        # silently quantize through the bf16-message kernel — refuse.
-        return (cfg.channel == "bsc"
-                and jnp.dtype(cfg.msg_dtype) == jnp.float32)
+        return kernel_policy_ok(self.cfg)
 
     def _maybe_upgrade_kernel(self) -> None:
         """Swap the decoder for its fused-Pallas variant when the config

@@ -80,7 +80,8 @@ def _bounded_loop(max_iter, body, carry, done_idx):
     finished words (active masks gate all writes), so exiting the moment
     the whole block converges is result-identical — and at low-WER
     operating points, where most words decode in a few iterations, it
-    removes the bulk of the fixed-cap work."""
+    removes the bulk of the fixed-cap work. Returns (t, carry) where t
+    is the number of iterations actually run (the early-exit point)."""
     def cond(c):
         return (c[0] < max_iter) & (jnp.min(c[1][done_idx]) < 0.5)
 
@@ -88,7 +89,7 @@ def _bounded_loop(max_iter, body, carry, done_idx):
         return (c[0] + 1, body(c[0], c[1]))
 
     return jax.lax.while_loop(
-        cond, wbody, (jnp.zeros((), jnp.int32), carry))[1]
+        cond, wbody, (jnp.zeros((), jnp.int32), carry))
 
 
 def _onehot_dot(val, a, *, transposed, exact):
@@ -124,8 +125,33 @@ def _onehot_dot(val, a, *, transposed, exact):
     return (one(s1) + one(s2)) + one(s3)
 
 
+def _snap_write(x_out, caps, it, x_hat):
+    """Multi-cap: plane k is written ONCE, in the body iteration that
+    completes caps[k] iterations (0-based ``it`` == caps[k]-1). A
+    scalar-predicated regional write (pl.when lowers to a branch) — no
+    per-iteration read-modify-select traffic. ``_snap_fill`` covers the
+    planes an early-exited loop never reached."""
+    xi = x_hat.astype(jnp.int32)
+    for k, cap in enumerate(caps):
+        @pl.when(it == cap - 1)
+        def _(k=k):
+            x_out[k] = xi
+
+
+def _snap_fill(x_out, caps, t, x_hat):
+    """Post-loop: the loop exited after t < caps[k] iterations for the
+    trailing planes (whole block converged early) — x_hat is frozen from
+    t on, so the final state IS the cap-k decision (bit-exact with
+    ``decode`` at iter_cap=caps[k], whose loop also ends at t)."""
+    xi = x_hat.astype(jnp.int32)
+    for k, cap in enumerate(caps):
+        @pl.when(t < cap)
+        def _(k=k):
+            x_out[k] = xi
+
+
 def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-            max_iter, check_init, exact_f32=False):
+            max_iter, check_init, exact_f32=False, caps=None):
     f32 = jnp.float32
     llr = llr_ref[:].astype(f32)                     # [bs, V]
     bs = llr.shape[0]
@@ -166,7 +192,7 @@ def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         done_v0 = zero_v
         done_c0 = zero_c
 
-    def body(_, carry):
+    def body(it, carry):
         x_hat, done_v, done_c, iters_c = carry
         planes = [v2c[d][:].astype(f32) for d in range(Dc)]
 
@@ -213,44 +239,41 @@ def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         ok = syndrome_ok(x_hat)                      # [bs, 1]
         done_v = jnp.maximum(done_v, ok)             # broadcast over V
         done_c = jnp.maximum(done_c, ok)
+        if caps is not None:
+            _snap_write(x_out, caps, it, x_hat)
         return x_hat, done_v, done_c, iters_c
 
-    x_hat, _, _, iters_c = _bounded_loop(
+    t, (x_hat, _, _, iters_c) = _bounded_loop(
         max_iter, body, (x0, done_v0, done_c0, zero_c), done_idx=2)
-    x_out[:] = x_hat.astype(jnp.int32)
+    if caps is None:
+        x_out[:] = x_hat.astype(jnp.int32)
+    else:
+        _snap_fill(x_out, caps, t, x_hat)
     it_out[:] = iters_c[:, 0:1].astype(jnp.int32)
 
 
-def msa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
-                      check_init: bool, block: int = 128,
-                      interpret: bool = False, exact_f32: bool = False):
-    """llr [B, V] -> (x_hat [B, V] int32, iters [B] int32).
-
-    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
-    tests); on the chip the 10-iteration loop stays VMEM-resident and
-    measures 532k cw/s vs the XLA incidence route's 378k at batch 16384
-    (bit-identical decisions and iteration counts).
-
-    ``exact_f32=True`` keeps the message scratch in float32 and runs
-    every one-hot hop as a 3-term bf16 split (see ``_onehot_dot``) —
-    exact float32 message dynamics for tie-structured workloads (BSC)
-    that must NOT be bf16-quantized, at ~2x the scratch footprint and
-    3x the MXU passes of the bf16 kernel (block 64 keeps it under
-    VMEM with the flagship tables)."""
+def _launch_bp(kern, batched, a_tab, h_tab, *, block, scratch_dt,
+               interpret, caps=None):
+    """Shared pallas_call plumbing for the four BP kernels: pad the batch
+    to a block multiple, wire the (llr/y, A, H) input specs, and shape
+    the decision output — [B, V] single-cap, [K, B, V] when ``caps``
+    snapshot planes are requested. Returns (x_hat, iters [B])."""
     Dc, C, V = a_tab.shape
-    B0 = llr.shape[0]
-    if exact_f32:
-        block = min(block, 64)
+    B0 = batched.shape[0]
     if B0 % block:
         pad = block - B0 % block
-        llr = jnp.concatenate(
-            [llr, jnp.zeros((pad, V), llr.dtype)], axis=0)
-    B = llr.shape[0]
-    kern = functools.partial(_kernel, Dc=Dc, C=C, V=V,
-                             max_iter=int(max_iter),
-                             check_init=bool(check_init),
-                             exact_f32=bool(exact_f32))
-    msg_dt = jnp.float32 if exact_f32 else jnp.bfloat16
+        batched = jnp.concatenate(
+            [batched, jnp.zeros((pad, V), batched.dtype)], axis=0)
+    B = batched.shape[0]
+    if caps is None:
+        x_spec = pl.BlockSpec((block, V), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        x_shape = jax.ShapeDtypeStruct((B, V), jnp.int32)
+    else:
+        K = len(caps)
+        x_spec = pl.BlockSpec((K, block, V), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+        x_shape = jax.ShapeDtypeStruct((K, B, V), jnp.int32)
     x_hat, iters = pl.pallas_call(
         kern,
         grid=(B // block,),
@@ -263,25 +286,68 @@ def msa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block, V), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((block, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, V), jnp.int32),
+            x_shape,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Dc, block, C), msg_dt),
+            pltpu.VMEM((Dc, block, C), scratch_dt),
         ],
         interpret=interpret,
-    )(llr.astype(jnp.float32), a_tab, h_tab)
-    return x_hat[:B0], iters[:B0, 0]
+    )(batched, a_tab, h_tab)
+    if caps is None:
+        return x_hat[:B0], iters[:B0, 0]
+    return x_hat[:, :B0], iters[:B0, 0]
+
+
+def msa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
+                      check_init: bool, block: int = 128,
+                      interpret: bool = False, exact_f32: bool = False,
+                      caps=None):
+    """llr [B, V] -> (x_hat [B, V] int32, iters [B] int32).
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
+    tests); on the chip the 10-iteration loop stays VMEM-resident and
+    measures 532k cw/s vs the XLA incidence route's 378k at batch 16384
+    (bit-identical decisions and iteration counts).
+
+    ``exact_f32=True`` keeps the message scratch in float32 and runs
+    every one-hot hop as a 3-term bf16 split (see ``_onehot_dot``) —
+    exact float32 message dynamics for tie-structured workloads (BSC)
+    that must NOT be bf16-quantized, at ~2x the scratch footprint and
+    3x the MXU passes of the bf16 kernel (block 64 keeps it under
+    VMEM with the flagship tables).
+
+    ``caps``: static ascending iteration caps — decode once to
+    max_iter (= caps[-1]) and snapshot the decisions at every cap
+    (``decode_multi_cap`` semantics); returns (x_hats [K, B, V],
+    iters [B]). The K int32 snapshot planes cost VMEM, so the block
+    shrinks accordingly."""
+    if caps is not None:
+        assert int(max_iter) == int(caps[-1])
+        # Chip-probed at the REG_BAD shapes (K=7, grid over batch 2048):
+        # block 64 fits VMEM for both message dtypes and is ~2x block 32
+        # (MXU tile utilization); 128 exceeds VMEM with the K int32
+        # snapshot planes.
+        block = min(block, 64)
+    elif exact_f32:
+        block = min(block, 64)
+    kern = functools.partial(_kernel, Dc=a_tab.shape[0], C=a_tab.shape[1],
+                             V=a_tab.shape[2], max_iter=int(max_iter),
+                             check_init=bool(check_init),
+                             exact_f32=bool(exact_f32), caps=caps)
+    return _launch_bp(kern, llr.astype(jnp.float32), a_tab, h_tab,
+                      block=block,
+                      scratch_dt=jnp.float32 if exact_f32 else jnp.bfloat16,
+                      interpret=interpret, caps=caps)
 
 
 def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-                max_iter):
+                max_iter, caps=None):
     """Ternary erasure SPA, whole loop VMEM-resident (reference
     src/bec.py:70-122 semantics: echo / single-unknown parity resolve /
     stopping-set exit). All values are small integers, so every dot
@@ -310,7 +376,11 @@ def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
     done_v0 = jnp.maximum(zero_v, (n_erased(x0) == 0.0).astype(f32))
     done_c0 = jnp.maximum(zero_c, (n_erased(x0) == 0.0).astype(f32))
 
-    def body(_, carry):
+    def to_sym(xs):
+        # sign {-1, 0, +1} -> symbol {0, 2, 1}
+        return jnp.where(xs < 0.0, 0, jnp.where(xs > 0.0, 1, 2))
+
+    def body(it, carry):
         x_hat, done_v, done_c, iters_c = carry
         planes = [v2c[d][:].astype(f32) for d in range(Dc)]
 
@@ -351,54 +421,33 @@ def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         fin = jnp.maximum((n_erased(x_hat) == 0.0).astype(f32), same)
         done_v = jnp.maximum(done_v, fin)
         done_c = jnp.maximum(done_c, fin)
+        if caps is not None:
+            _snap_write(x_out, caps, it, to_sym(x_hat))
         return x_hat, done_v, done_c, iters_c
 
-    x_hat, _, _, iters_c = _bounded_loop(
+    t, (x_hat, _, _, iters_c) = _bounded_loop(
         max_iter, body, (x0, done_v0, done_c0, zero_c), done_idx=2)
-    # sign {-1, 0, +1} -> symbol {0, 2, 1}
-    sym = jnp.where(x_hat < 0.0, 0, jnp.where(x_hat > 0.0, 1, 2))
-    x_out[:] = sym.astype(jnp.int32)
+    if caps is None:
+        x_out[:] = to_sym(x_hat).astype(jnp.int32)
+    else:
+        _snap_fill(x_out, caps, t, to_sym(x_hat))
     it_out[:] = iters_c[:, 0:1].astype(jnp.int32)
 
 
 def bec_spa_decode_pallas(a_tab, h_tab, y, *, max_iter: int,
-                          block: int = 128, interpret: bool = False):
-    """y [B, V] symbols {0,1,2} -> (x_hat [B, V] int32, iters [B])."""
-    Dc, C, V = a_tab.shape
-    B0 = y.shape[0]
-    if B0 % block:
-        pad = block - B0 % block
-        y = jnp.concatenate([y, jnp.zeros((pad, V), y.dtype)], axis=0)
-    B = y.shape[0]
-    kern = functools.partial(_bec_kernel, Dc=Dc, C=C, V=V,
-                             max_iter=int(max_iter))
-    x_hat, iters = pl.pallas_call(
-        kern,
-        grid=(B // block,),
-        in_specs=[
-            pl.BlockSpec((block, V), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dc, C, V), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block, V), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, V), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Dc, block, C), jnp.bfloat16),
-        ],
-        interpret=interpret,
-    )(y.astype(jnp.int32), a_tab, h_tab)
-    return x_hat[:B0], iters[:B0, 0]
+                          block: int = 128, interpret: bool = False,
+                          caps=None):
+    """y [B, V] symbols {0,1,2} -> (x_hat [B, V] int32, iters [B]).
+    ``caps``: snapshot planes, see ``msa_decode_pallas``."""
+    if caps is not None:
+        assert int(max_iter) == int(caps[-1])
+        block = min(block, 64)
+    kern = functools.partial(_bec_kernel, Dc=a_tab.shape[0],
+                             C=a_tab.shape[1], V=a_tab.shape[2],
+                             max_iter=int(max_iter), caps=caps)
+    return _launch_bp(kern, y.astype(jnp.int32), a_tab, h_tab,
+                      block=block, scratch_dt=jnp.bfloat16,
+                      interpret=interpret, caps=caps)
 
 
 # float32 phi-domain ladder, mirrored from decoders/bp.py.
@@ -417,7 +466,7 @@ def _phi(x):
 
 
 def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-                max_iter, check_init, exact_f32=False):
+                max_iter, check_init, exact_f32=False, caps=None):
     """SPA (inf_policy='saturate'), whole loop VMEM-resident. Same
     structure as the MSA kernel; the check node is the phi-domain
     leave-one-out computed with the same prefix/suffix fold ordering as
@@ -454,7 +503,7 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         done_v0 = zero_v
         done_c0 = zero_c
 
-    def body(_, carry):
+    def body(it, carry):
         x_hat, done_v, done_c, iters_c = carry
         planes = [v2c[d][:].astype(f32) for d in range(Dc)]
 
@@ -497,59 +546,39 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         ok = syndrome_ok(x_hat)
         done_v = jnp.maximum(done_v, ok)
         done_c = jnp.maximum(done_c, ok)
+        if caps is not None:
+            _snap_write(x_out, caps, it, x_hat)
         return x_hat, done_v, done_c, iters_c
 
-    x_hat, _, _, iters_c = _bounded_loop(
+    t, (x_hat, _, _, iters_c) = _bounded_loop(
         max_iter, body, (x0, done_v0, done_c0, zero_c), done_idx=2)
-    x_out[:] = x_hat.astype(jnp.int32)
+    if caps is None:
+        x_out[:] = x_hat.astype(jnp.int32)
+    else:
+        _snap_fill(x_out, caps, t, x_hat)
     it_out[:] = iters_c[:, 0:1].astype(jnp.int32)
 
 
 def spa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
                       check_init: bool, block: int = 128,
-                      interpret: bool = False, exact_f32: bool = False):
-    """Saturate-policy SPA: llr [B, V] -> (x_hat, iters)."""
-    Dc, C, V = a_tab.shape
-    B0 = llr.shape[0]
-    if exact_f32:
+                      interpret: bool = False, exact_f32: bool = False,
+                      caps=None):
+    """Saturate-policy SPA: llr [B, V] -> (x_hat, iters).
+    ``caps``: snapshot planes, see ``msa_decode_pallas``."""
+    if caps is not None:
+        assert int(max_iter) == int(caps[-1])
+        block = min(block, 64)     # see msa_decode_pallas
+    elif exact_f32:
         block = min(block, 64)
-    if B0 % block:
-        pad = block - B0 % block
-        llr = jnp.concatenate(
-            [llr, jnp.zeros((pad, V), llr.dtype)], axis=0)
-    B = llr.shape[0]
-    kern = functools.partial(_spa_kernel, Dc=Dc, C=C, V=V,
+    kern = functools.partial(_spa_kernel, Dc=a_tab.shape[0],
+                             C=a_tab.shape[1], V=a_tab.shape[2],
                              max_iter=int(max_iter),
                              check_init=bool(check_init),
-                             exact_f32=bool(exact_f32))
-    x_hat, iters = pl.pallas_call(
-        kern,
-        grid=(B // block,),
-        in_specs=[
-            pl.BlockSpec((block, V), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dc, C, V), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block, V), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, V), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Dc, block, C),
-                       jnp.float32 if exact_f32 else jnp.bfloat16),
-        ],
-        interpret=interpret,
-    )(llr.astype(jnp.float32), a_tab, h_tab)
-    return x_hat[:B0], iters[:B0, 0]
+                             exact_f32=bool(exact_f32), caps=caps)
+    return _launch_bp(kern, llr.astype(jnp.float32), a_tab, h_tab,
+                      block=block,
+                      scratch_dt=jnp.float32 if exact_f32 else jnp.bfloat16,
+                      interpret=interpret, caps=caps)
 
 
 # Sentinel bands, mirrored from decoders/bp.py (bfloat16-robust).
@@ -560,7 +589,7 @@ _NAN_MIN = 1.5e9
 
 
 def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-                    max_iter, check_init, exact_f32=False):
+                    max_iter, check_init, exact_f32=False, caps=None):
     """SPA with the reference's float64 inf/NaN cascade (inf_policy=
     'reference'), sentinel-encoded, whole loop VMEM-resident. Plane
     translation of decoders/bp.spa_check_rows_ref + _spa_ref_step for
@@ -602,7 +631,7 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         done_v0 = zero_v
         done_c0 = zero_c
 
-    def body(_, carry):
+    def body(it, carry):
         x_hat, done_v, done_c, iters_c = carry
         m = [v2c[d][:].astype(f32) for d in range(Dc)]
 
@@ -692,62 +721,44 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         ok = syndrome_ok(x_hat)
         done_v = jnp.maximum(done_v, ok)
         done_c = jnp.maximum(done_c, ok)
+        if caps is not None:
+            _snap_write(x_out, caps, it, x_hat)
         return x_hat, done_v, done_c, iters_c
 
-    x_hat, _, _, iters_c = _bounded_loop(
+    t, (x_hat, _, _, iters_c) = _bounded_loop(
         max_iter, body, (x0, done_v0, done_c0, zero_c), done_idx=2)
-    x_out[:] = x_hat.astype(jnp.int32)
+    if caps is None:
+        x_out[:] = x_hat.astype(jnp.int32)
+    else:
+        _snap_fill(x_out, caps, t, x_hat)
     it_out[:] = iters_c[:, 0:1].astype(jnp.int32)
 
 
 def spa_ref_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
                           check_init: bool, block: int = 64,
-                          interpret: bool = False, exact_f32: bool = False):
+                          interpret: bool = False, exact_f32: bool = False,
+                          caps=None):
     """Reference-inf-policy SPA: llr [B, V] -> (x_hat, iters).
 
     Default tile 64: the class machinery keeps more live [bs, C]
-    planes than the other kernels and block=128 exceeds VMEM."""
-    Dc, C, V = a_tab.shape
-    B0 = llr.shape[0]
-    if exact_f32:
+    planes than the other kernels and block=128 exceeds VMEM.
+    ``caps``: snapshot planes, see ``msa_decode_pallas``."""
+    if caps is not None:
+        assert int(max_iter) == int(caps[-1])
+        # Chip-probed: bf16 fits at 64; the exact-f32 class machinery
+        # overflows VMEM there and stays at 32 (16 measures the same).
+        block = min(block, 64 if not exact_f32 else 32)
+    elif exact_f32:
         block = min(block, 32)
-    if B0 % block:
-        pad = block - B0 % block
-        llr = jnp.concatenate(
-            [llr, jnp.zeros((pad, V), llr.dtype)], axis=0)
-    B = llr.shape[0]
-    kern = functools.partial(_spa_ref_kernel, Dc=Dc, C=C, V=V,
+    kern = functools.partial(_spa_ref_kernel, Dc=a_tab.shape[0],
+                             C=a_tab.shape[1], V=a_tab.shape[2],
                              max_iter=int(max_iter),
                              check_init=bool(check_init),
-                             exact_f32=bool(exact_f32))
-    x_hat, iters = pl.pallas_call(
-        kern,
-        grid=(B // block,),
-        in_specs=[
-            pl.BlockSpec((block, V), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dc, C, V), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block, V), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, V), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Dc, block, C),
-                       jnp.float32 if exact_f32 else jnp.bfloat16),
-        ],
-        interpret=interpret,
-    )(llr.astype(jnp.float32), a_tab, h_tab)
-    return x_hat[:B0], iters[:B0, 0]
+                             exact_f32=bool(exact_f32), caps=caps)
+    return _launch_bp(kern, llr.astype(jnp.float32), a_tab, h_tab,
+                      block=block,
+                      scratch_dt=jnp.float32 if exact_f32 else jnp.bfloat16,
+                      interpret=interpret, caps=caps)
 
 
 def _admm_kernel(llr_ref, a_ref, x_out, it_out, z_sc, lam_sc, *, Dc, C, V,
@@ -899,7 +910,7 @@ def _admm_kernel(llr_ref, a_ref, x_out, it_out, z_sc, lam_sc, *, Dc, C, V,
                              (x > 0.5).astype(jnp.int32), x_out[:])
         return done_v, done_c, updates_c
 
-    done_v, done_c, updates_c = _bounded_loop(
+    _, (done_v, done_c, updates_c) = _bounded_loop(
         max_iter, body, (zero_v, zero_c, zero_c), done_idx=1)
     # reference histogram convention (admm.py:47-53): converged after k
     # updates -> k-1; cap-stopped -> cap.

@@ -93,3 +93,86 @@ def test_cap_sweep_zero_label_biawgn(tmp_path):
     s = res[0][2.0]
     assert s["wer"] == 1.0 and s["ber"] == 1.0
     assert res[10][2.0]["wer"] < 0.5
+
+
+# ---- fused-kernel (pallas) multi-cap route --------------------------------
+
+@pytest.fixture(scope="module")
+def reg_code():
+    return get_code("1200_3_6_ldpc")
+
+
+PCAPS = [1, 2, 3, 6]
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "float32"])
+def test_pallas_multi_cap_msa_matches_xla(reg_code, dtype):
+    """The fused MSA kernel's snapshot planes are bit-equal to the XLA
+    decode_multi_cap route (the single-cap kernels are bit-identical to
+    the incidence route; snapshots must not change that)."""
+    key = jax.random.PRNGKey(11)
+    x = jnp.ones((64, 1200), jnp.int32)
+    y = bsc_mod.send(key, x, 0.06)
+    llr = bsc_mod.llr(y, 0.06)
+    dt = jnp.dtype(dtype)
+    xla = BPDecoder(reg_code.graph, "MSA", max_iter=PCAPS[-1],
+                    msg_dtype=dt)
+    pal = BPDecoder(reg_code.graph, "MSA", max_iter=PCAPS[-1],
+                    msg_dtype=dt, perm="pallas")
+    xs_x, it_x = xla.decode_multi_cap(llr, PCAPS)
+    xs_p, it_p = pal.decode_multi_cap(llr, PCAPS)
+    np.testing.assert_array_equal(np.asarray(xs_x), np.asarray(xs_p))
+    np.testing.assert_array_equal(np.asarray(it_x), np.asarray(it_p))
+
+
+@pytest.mark.parametrize("policy", ["saturate", "reference"])
+def test_pallas_multi_cap_spa_matches_per_cap(reg_code, policy):
+    """SPA snapshot planes (both inf policies, exact-f32 variants) are
+    bit-exact with separate fused decodes at each cap."""
+    key = jax.random.PRNGKey(12)
+    x = jnp.ones((32, 1200), jnp.int32)
+    y = bsc_mod.send(key, x, 0.07)
+    llr = bsc_mod.llr(y, 0.07)
+    pal = BPDecoder(reg_code.graph, "SPA", max_iter=PCAPS[-1],
+                    inf_policy=policy, perm="pallas")
+    xs, its = pal.decode_multi_cap(llr, PCAPS)
+    for k, cap in enumerate(PCAPS):
+        d1 = BPDecoder(reg_code.graph, "SPA", max_iter=cap,
+                       inf_policy=policy, perm="pallas")
+        xr, ir = d1.decode(llr)
+        np.testing.assert_array_equal(np.asarray(xs[k]), np.asarray(xr),
+                                      err_msg=f"cap {cap}")
+        np.testing.assert_array_equal(np.asarray(its[k]), np.asarray(ir),
+                                      err_msg=f"iters cap {cap}")
+
+
+def test_pallas_multi_cap_bec_matches_xla(reg_code):
+    """Ternary BEC snapshots are bit-equal to the XLA multi-cap route
+    (integer dynamics, including stopping-set freezes)."""
+    key = jax.random.PRNGKey(13)
+    x = jnp.ones((64, 1200), jnp.int32)
+    y = bec_mod.send(key, x, 0.4)
+    xla = BECSPADecoder(reg_code.graph, max_iter=PCAPS[-1])
+    pal = BECSPADecoder(reg_code.graph, max_iter=PCAPS[-1], perm="pallas")
+    xs_x, it_x = xla.decode_multi_cap(y, PCAPS)
+    xs_p, it_p = pal.decode_multi_cap(y, PCAPS)
+    np.testing.assert_array_equal(np.asarray(xs_x), np.asarray(xs_p))
+    np.testing.assert_array_equal(np.asarray(it_x), np.asarray(it_p))
+
+
+def test_cap_sweep_runner_pallas_route_tallies(reg_code, tmp_path):
+    """CapSweepRunner with kernel='pallas' (forced; interpreter on CPU)
+    produces the same per-cap tallies as the XLA route — the REG_BAD
+    campaign contract for the fused route (exact-f32 BSC kernels are
+    bit-equal, so the tallies must match exactly)."""
+    kw = dict(channel="bsc", code="1200_3_6_ldpc", decoder="MSA",
+              params=[0.06], codeword=1, min_wec=5, batch=64,
+              max_words=128, log_freq=1e9)
+    res_x = CapSweepRunner(RunConfig(kernel="xla", **kw),
+                           [0] + PCAPS).run()
+    res_p = CapSweepRunner(RunConfig(kernel="pallas", **kw),
+                           [0] + PCAPS).run()
+    for lbl in [0] + PCAPS:
+        sx, sp = res_x[lbl][0.06], res_p[lbl][0.06]
+        assert (sx["tot"], sx["wec"], sx["bec"]) == \
+            (sp["tot"], sp["wec"], sp["bec"]), lbl
