@@ -236,20 +236,11 @@ class MonteCarloRunner:
         if cfg.channel == "bec":
             raise ValueError("code-axis sharding is LLR-domain; the "
                              "ternary BEC SPA does not shard yet")
-        if cfg.decoder == "SPA" and cfg.inf_policy == "reference":
-            # Refuse rather than silently saturate: the reference inf/NaN
-            # cascade (golden SPA parity) is not implemented in the
-            # sharded kernel (same contract as EnsembleBPDecoder).
-            raise ValueError(
-                "EdgeShardedBPDecoder implements inf_policy='saturate' "
-                "only; pass --inf-policy=saturate explicitly for "
-                "code-sharded SPA (golden-cascade parity is a "
-                "single-chip/batch-sharded feature)")
         batch_axis = "batch" if "batch" in mesh.axis_names else None
         inner = EdgeShardedBPDecoder(
             self.code.parity_mtx, mesh, cfg.decoder,
             max_iter=cfg.max_iter, iter_cap=cfg.iter_cap,
-            batch_axis=batch_axis,
+            batch_axis=batch_axis, inf_policy=cfg.inf_policy,
             check_init=(cfg.channel != "biawgn"))
         if cfg.channel == "biawgn":
             from ldpc_decoders_tpu.channels.biawgn import _AWGNLLRWrapped

@@ -29,7 +29,15 @@ import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from ldpc_decoders_tpu.decoders.bp import msa_check_rows, spa_check_rows
+from ldpc_decoders_tpu.decoders.bp import (
+    INF_S,
+    NAN_S,
+    _INF_MIN,
+    _NAN_MIN,
+    msa_check_rows,
+    spa_check_rows,
+    spa_check_rows_ref,
+)
 
 
 class _ShardTables(NamedTuple):
@@ -66,9 +74,12 @@ class EdgeShardedBPDecoder:
     def __init__(self, parity_mtx: np.ndarray, mesh, variant: str = "SPA",
                  max_iter: int = 10, iter_cap: int = 1000,
                  axis: str = "code", batch_axis: str = None,
-                 check_init: bool = True, **_):
+                 check_init: bool = True, inf_policy: str = "reference",
+                 **_):
         if variant not in ("SPA", "MSA"):
             raise ValueError(f"unknown BP variant {variant!r}")
+        if inf_policy not in ("reference", "saturate"):
+            raise ValueError(f"unknown inf_policy {inf_policy!r}")
         H = np.asarray(parity_mtx)
         self.n_var = int(H.shape[1])
         self.mesh = mesh
@@ -76,6 +87,12 @@ class EdgeShardedBPDecoder:
         self.check_init = bool(check_init)
         self.max_iter = int(max_iter)
         self.iter_cap = self.max_iter if self.max_iter > 0 else int(iter_cap)
+        # Same default as BPDecoder: SPA reproduces the reference's
+        # float64 inf/NaN cascade (sentinel-encoded; load-bearing for
+        # the golden SPA curves — decoders/bp.py). The class planes
+        # aggregate with the SAME one psum per iteration, just stacked:
+        # [B, 3, V] instead of [B, V].
+        self.inf_policy = inf_policy if variant == "SPA" else "saturate"
         self._check_rows = (spa_check_rows if variant == "SPA"
                             else msa_check_rows)
         n_dev = int(np.prod([mesh.shape[a] for a in (axis,)]))
@@ -113,6 +130,14 @@ class EdgeShardedBPDecoder:
                 :, var_of_slot].add(flat)[:, :V]
             return lax.psum(partial, ax)
 
+        def sum_planes_per_var(planes):  # [B, P, C_loc, Dc] -> [B, P, V]
+            P_ = planes.shape[1]
+            flat = jnp.where(mask.reshape(-1), planes.reshape(B, P_, -1),
+                             0.0)
+            partial = jnp.zeros((B, P_, V + 1), flat.dtype).at[
+                :, :, var_of_slot].add(flat)[:, :, :V]
+            return lax.psum(partial, ax)     # still ONE psum / iteration
+
         def syndrome_ok(x_hat):                      # [B, V] -> [B] (global)
             bits = to_slots(x_hat.astype(jnp.float32))
             odd = jnp.where(mask, bits, 0.0).sum(-1).astype(jnp.int32) % 2
@@ -133,11 +158,53 @@ class EdgeShardedBPDecoder:
         def cond(s):
             return (s.it < self.iter_cap) & ~s.all_done
 
+        def ref_step(v2c):
+            """One refmode SPA iteration, sharded: the sentinel-class
+            logic of BPDecoder._spa_ref_step (bpa.py:31-62 float64
+            semantics) with the 3 aggregation planes (finite sum, +inf/
+            NaN count, -inf/NaN count) riding the single per-iteration
+            psum stacked on a P axis."""
+            c2v = spa_check_rows_ref(v2c, mask)      # local rows
+            nan_i = c2v > _NAN_MIN
+            pinf_i = (c2v > _INF_MIN) & ~nan_i
+            ninf_i = c2v < -_INF_MIN
+            fin_v = jnp.where(nan_i | pinf_i | ninf_i, 0.0, c2v)
+            planes = jnp.stack(
+                [fin_v, (pinf_i | nan_i).astype(jnp.float32),
+                 (ninf_i | nan_i).astype(jnp.float32)], axis=1)
+            sums = sum_planes_per_var(planes)        # [B, 3, V]
+            fin_sum, n_p, n_n = sums[:, 0], sums[:, 1], sums[:, 2]
+
+            is_nan = (n_p > 0.5) & (n_n > 0.5)
+            is_p = ~is_nan & (n_p > 0.5)
+            is_n = ~is_nan & (n_n > 0.5)
+            marg_fin = llr + fin_sum
+            x_new = jnp.where(is_n, 1,
+                              jnp.where(is_nan | is_p, 0,
+                                        (marg_fin < 0).astype(jnp.int32)))
+            marg_enc = jnp.where(is_nan, NAN_S,
+                                 jnp.where(is_p, INF_S,
+                                           jnp.where(is_n, -INF_S,
+                                                     marg_fin)))
+            edge_m = to_slots(marg_enc)              # [B, C_loc, Dc]
+            em_nan = edge_m > _NAN_MIN
+            em_p = (edge_m > _INF_MIN) & ~em_nan
+            em_n = edge_m < -_INF_MIN
+            v2c_new = jnp.where(em_p, jnp.where(pinf_i, NAN_S, INF_S),
+                                edge_m - fin_v)
+            v2c_new = jnp.where(em_n, jnp.where(ninf_i, NAN_S, -INF_S),
+                                v2c_new)
+            v2c_new = jnp.where(em_nan, NAN_S, v2c_new)
+            return x_new.astype(jnp.int32), jnp.where(mask, v2c_new, 0.0)
+
         def body(s):
-            c2v = self._check_rows(s.v2c, mask)      # [B, C_loc, Dc]
-            marginal = llr + sum_per_var(c2v)        # ONE psum / iteration
-            v2c_new = jnp.where(mask, to_slots(marginal) - c2v, 0.0)
-            x_new = (marginal < 0).astype(jnp.int32)
+            if self.inf_policy == "reference":
+                x_new, v2c_new = ref_step(s.v2c)
+            else:
+                c2v = self._check_rows(s.v2c, mask)  # [B, C_loc, Dc]
+                marginal = llr + sum_per_var(c2v)    # ONE psum / iteration
+                v2c_new = jnp.where(mask, to_slots(marginal) - c2v, 0.0)
+                x_new = (marginal < 0).astype(jnp.int32)
             active = ~s.done
             x_hat = jnp.where(active[:, None], x_new, s.x_hat)
             v2c = jnp.where(active[:, None, None], v2c_new, s.v2c)

@@ -108,20 +108,50 @@ def test_harness_code_mesh_2d(mesh):
     assert abs(res_sh["wer"] - res_one["wer"]) < 6 * se + 1e-9
 
 
-def test_harness_code_mesh_spa_reference_policy_refused(mesh):
-    """Default inf_policy='reference' must refuse the code-sharded SPA
-    (the sharded kernel implements 'saturate' only) instead of silently
-    generating off-golden curves."""
+def test_spa_reference_policy_matches_single_device(mesh):
+    """Code-sharded refmode SPA (the sentinel inf/NaN cascade the golden
+    curves depend on, bpa.py:35-62) vs the single-chip refmode decoder
+    on margulis at a saturating operating point: the cascade classes are
+    integer-exact across shards (counts psum exactly), so decisions may
+    differ only on knife-edge finite sums (float grouping)."""
+    code = get_code("margulis")
+    key = jax.random.PRNGKey(5)
+    from ldpc_decoders_tpu.channels import bsc
+    x = jnp.zeros((32, code.get_n()), jnp.int32)
+    y = bsc.send(key, x, 0.05)
+    llr = bsc.llr(y, 0.05)
+
+    sharded = EdgeShardedBPDecoder(code.parity_mtx, mesh, "SPA",
+                                   max_iter=60)   # deep: cascade engages
+    xs, its = sharded.decode(llr)
+    assert sharded.inf_policy == "reference"      # BPDecoder's default
+    ref = BPDecoder(code.graph, "SPA", max_iter=60)
+    xr, itr = ref.decode(llr)
+    xs, xr = np.asarray(xs), np.asarray(xr)
+    mismatch = (xs != xr).any(axis=1).sum()
+    assert mismatch <= 1, f"{mismatch} words differ"
+    if mismatch == 0:
+        np.testing.assert_array_equal(np.asarray(its), np.asarray(itr))
+    # The cascade must actually have fired somewhere at this depth
+    # (poisoned words decide bit 0 = erased-to-zero behavior).
+    assert (np.asarray(its) > 1).any()
+
+
+def test_harness_code_mesh_spa_reference_policy(mesh):
+    """Default inf_policy='reference' now runs code-sharded end-to-end:
+    tallies match the single-device refmode run within MC error."""
+    import math
+
     from ldpc_decoders_tpu.harness import MonteCarloRunner, RunConfig
 
     cfg = RunConfig(channel="bsc", code="1200_3_6_ldpc", decoder="SPA",
-                    params=[0.06], codeword=0, min_wec=5, batch=64)
-    with pytest.raises(ValueError, match="saturate"):
-        MonteCarloRunner(cfg, mesh=mesh)
-    cfg2 = RunConfig(channel="bsc", code="1200_3_6_ldpc", decoder="SPA",
-                     params=[0.06], codeword=0, min_wec=5, batch=64,
-                     inf_policy="saturate")
-    MonteCarloRunner(cfg2, mesh=mesh)  # constructs fine
+                    params=[0.06], codeword=0, min_wec=15, batch=64,
+                    log_freq=1e9)
+    res_sh = MonteCarloRunner(cfg, mesh=mesh).run()[0.06]
+    res_one = MonteCarloRunner(cfg).run()[0.06]
+    se = math.sqrt(res_sh["wer"] / res_sh["tot"]
+                   + res_one["wer"] / res_one["tot"])
+    assert abs(res_sh["wer"] - res_one["wer"]) < 6 * se + 1e-9
 
 
 def test_code_mesh_validates_device_count():
