@@ -83,12 +83,28 @@ class ADMMDecoder:
         if perm == "pallas":
             # Fused whole-loop kernel (ops/pallas_bp.py): regular graphs,
             # hard-decision output only (allow_pseudo uses the XLA path).
+            # Graphs whose dense [Dc, C, V] one-hots exceed VMEM
+            # (margulis ~42 MB) use the digit-factorized tables instead
+            # (~2.7 MB; bit-identical hops).
             if self.allow_pseudo:
                 raise ValueError("perm='pallas' requires allow_pseudo="
                                  "False (fractional outputs stay on the "
                                  "XLA route)")
-            from ldpc_decoders_tpu.ops.pallas_bp import slot_tables
-            self._pallas_a, _ = slot_tables(graph)
+            from ldpc_decoders_tpu.ops.pallas_bp import (
+                factored_tables_fit_vmem,
+                slot_tables,
+                slot_tables_factored,
+                tables_fit_vmem,
+            )
+            if tables_fit_vmem(graph):
+                self._pallas_a, _ = slot_tables(graph)
+                self._pallas_lm = None
+            elif factored_tables_fit_vmem(graph):
+                self._pallas_a = None
+                self._pallas_lm = slot_tables_factored(graph)
+            else:
+                raise ValueError("graph too large for the fused ADMM "
+                                 "kernel (factored tables exceed VMEM)")
             vd = np.unique(np.asarray(graph.var_deg))
             if vd.size != 1:
                 raise ValueError("perm='pallas' requires uniform variable "
@@ -119,12 +135,23 @@ class ADMMDecoder:
         if self.perm == "pallas":
             import jax
 
-            from ldpc_decoders_tpu.ops.pallas_bp import admm_decode_pallas
-            return admm_decode_pallas(
-                self._pallas_a, llr.astype(jnp.float32), mu=self.mu,
-                eps=self.eps, max_iter=self.iter_cap,
+            from ldpc_decoders_tpu.ops.pallas_bp import (
+                admm_decode_pallas,
+                admm_decode_pallas_factored,
+            )
+            interp = jax.default_backend() == "cpu"
+            if self._pallas_a is not None:
+                return admm_decode_pallas(
+                    self._pallas_a, llr.astype(jnp.float32), mu=self.mu,
+                    eps=self.eps, max_iter=self.iter_cap,
+                    n_edge=self.graph.n_edge,
+                    var_deg=self._uniform_var_deg, interpret=interp)
+            l_tab, m_tab, _ = self._pallas_lm
+            return admm_decode_pallas_factored(
+                l_tab, m_tab, self.graph.n_var, llr.astype(jnp.float32),
+                mu=self.mu, eps=self.eps, max_iter=self.iter_cap,
                 n_edge=self.graph.n_edge, var_deg=self._uniform_var_deg,
-                interpret=jax.default_backend() == "cpu")
+                interpret=interp)
         graph = self.graph
         gamma = llr.astype(jnp.float32)
         B = gamma.shape[0]

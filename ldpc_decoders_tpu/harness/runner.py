@@ -296,13 +296,25 @@ class MonteCarloRunner:
                 return          # elsewhere, keep construction working
             if backend == "cpu":
                 return  # interpreter-mode kernels are for tests only
-            if cfg.max_iter <= 0:
-                return  # convergence runs: keep per-call work bounded
+            if cfg.max_iter <= 0 and cfg.decoder != "ADMM":
+                return  # BP convergence runs: keep per-call work bounded
+                # (ADMM runs-to-convergence are the MAR campaign staple;
+                # chip-measured fused chunks stay under the worker
+                # watchdog even at the cap-bound BSC points, at ~2x the
+                # gather route — see docs/SCALING.md margulis ADMM.)
             if not self._kernel_policy_ok():
                 return
-            from ldpc_decoders_tpu.ops.pallas_bp import tables_fit_vmem
+            from ldpc_decoders_tpu.ops.pallas_bp import (
+                factored_tables_fit_vmem,
+                tables_fit_vmem,
+            )
             if not tables_fit_vmem(self.code.graph):
-                return
+                # ADMM has a digit-factorized table route for
+                # margulis-scale graphs (slot_tables_factored); the BP
+                # kernels still need resident dense tables.
+                if not (cfg.decoder == "ADMM"
+                        and factored_tables_fit_vmem(self.code.graph)):
+                    return
         kw = cfg.decoder_kwargs()
         kw["perm"] = "pallas"
         if cfg.decoder in ("SPA", "MSA") and cfg.channel != "bec":

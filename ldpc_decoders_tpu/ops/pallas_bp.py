@@ -73,6 +73,59 @@ def slot_tables(graph: TannerGraph):
     return jnp.asarray(a, jnp.bfloat16), jnp.asarray(h, jnp.bfloat16)
 
 
+def factored_tables_fit_vmem(graph: TannerGraph,
+                             budget_bytes: int = 11_000_000,
+                             lane: int = 128) -> bool:
+    """Whether the digit-factorized tables (``slot_tables_factored``)
+    fit: L [Dc, C, lane] bf16 + M [Dc, H, C] f32 — V/lane-fold smaller
+    than the dense [Dc, C, V] one-hots (margulis: ~2.7 MB vs ~42 MB)."""
+    g = graph
+    n_grp = -(-g.n_var // lane)
+    l_bytes = g.max_chk_deg * g.n_chk * lane * 2
+    m_bytes = g.max_chk_deg * n_grp * g.n_chk * 4
+    return l_bytes + m_bytes <= budget_bytes
+
+
+def slot_tables_factored(graph: TannerGraph, lane: int = 128):
+    """Digit-factorized one-hot slot tables for graphs whose dense
+    [Dc, C, V] one-hots exceed VMEM (margulis 2640x1320 is ~42 MB).
+
+    Write each slot-d edge's variable index as v = lane*h + l. Then the
+    dense one-hot hop val [bs,C] @ A_d [C,V] factorizes per group h:
+
+      scatter:  out[:, lane*h:lane*(h+1)] = (val * M_d[h]) @ L_d
+      gather:   out = sum_h (x[:, lane*h:lane*(h+1)] @ L_d^T) * M_d[h]
+
+    with L_d[c, l] one-hot on the low digit and M_d[h, c] the 0/1 group
+    mask — IDENTICAL MXU FLOPs (H matmuls of lane-wide tiles replace one
+    V-wide matmul) and bit-identical f32 results (the group mask only
+    zeroes terms the dense contraction also zeroes, in the same
+    contraction order), at lane/V the table footprint.
+
+    Returns (L [Dc, C, lane] bf16, M [Dc, H, 1, C] f32, v_pad) with
+    v_pad = H * lane; callers pad the variable axis to v_pad (pad
+    variables touch no check, so they are inert). M carries a unit
+    sublane axis so an in-kernel M[d, h] slice is 2-D [1, C] — Mosaic
+    mishandles bare 1-D lane vectors."""
+    g = graph
+    if not (bool(np.asarray(g.chk_mask).all())
+            and bool(np.asarray(g.var_mask).all())):
+        raise ValueError("pallas route requires a fully regular graph "
+                         "(no padded slots)")
+    C, V, Dc = g.n_chk, g.n_var, g.max_chk_deg
+    n_grp = -(-V // lane)
+    edge_var = np.asarray(g.edge_var)
+    chk_edge = np.asarray(g.chk_edge).reshape(C, Dc)
+    lo = np.zeros((Dc, C, lane), np.float32)
+    grp = np.zeros((Dc, n_grp, C), np.float32)
+    for d in range(Dc):
+        v_of_c = edge_var[chk_edge[:, d]]
+        lo[d, np.arange(C), v_of_c % lane] = 1.0
+        grp[d, v_of_c // lane, np.arange(C)] = 1.0
+    return (jnp.asarray(lo, jnp.bfloat16),
+            jnp.asarray(grp[:, :, None, :], jnp.float32), n_grp * lane)
+
+
 def _bounded_loop(max_iter, body, carry, done_idx):
     """fori_loop with early exit: iterate ``body(it, carry)`` until
     ``max_iter`` or the done plane ``carry[done_idx]`` (float 0/1,
@@ -761,68 +814,110 @@ def spa_ref_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
                       interpret=interpret, caps=caps)
 
 
-def _admm_kernel(llr_ref, a_ref, x_out, it_out, z_sc, lam_sc, *, Dc, C, V,
-                 var_deg, mu, thresh, max_iter):
-    """ADMM LP decoding, whole loop VMEM-resident (decoders/admm.py
-    semantics, allow_pseudo=False). The parity-polytope projection is
-    the same sort-free rank + candidate-bracket algorithm as
-    ops/projection.py, unrolled over the Dc slot planes (no [.., 2D, D]
-    tensor ever materializes — 13 candidate planes fold elementwise).
-    Regular graphs only (uniform var_deg, no padded slots)."""
+def _dot_split(val, a, transposed):
+    """f32 value against a bf16 one-hot table at float32 fidelity: ADMM
+    trajectories are precision-sensitive (bf16-quantized operands
+    measurably shift WER — decoders/admm.py precision note), so every
+    value-side dot splits the f32 operand into bf16 hi + lo parts:
+    hi/lo products against the one-hot table are exact, and their f32
+    sum recovers float32 fidelity at the cost of a second dot."""
     f32 = jnp.float32
-    gamma = llr_ref[:].astype(f32)                   # [bs, V]
+    hi = val.astype(jnp.bfloat16)
+    lo = (val - hi.astype(f32)).astype(jnp.bfloat16)
+    if transposed:
+        dn = (((1,), (1,)), ((), ()))
+    else:
+        dn = (((1,), (0,)), ((), ()))
+    out = jax.lax.dot_general(hi, a, dimension_numbers=dn,
+                              preferred_element_type=f32)
+    return out + jax.lax.dot_general(lo, a, dimension_numbers=dn,
+                                     preferred_element_type=f32)
+
+
+def _admm_kernel(llr_ref, a_ref, x_out, it_out, z_sc, lam_sc, xe_sc,
+                 v_sc, *, Dc, C, V, var_deg, mu, thresh, max_iter):
+    """ADMM LP decoding, whole loop VMEM-resident (decoders/admm.py
+    semantics, allow_pseudo=False) over the dense [Dc, C, V] one-hot
+    tables. The parity-polytope projection is the same sort-free rank +
+    candidate-bracket algorithm as ops/projection.py, unrolled over the
+    Dc slot planes (no [.., 2D, D] tensor ever materializes — 13
+    candidate planes fold elementwise). Regular graphs only (uniform
+    var_deg, no padded slots)."""
+    def hop(val, d, transposed):
+        return _dot_split(val, a_ref[d], transposed)
+
+    _admm_core(llr_ref[:].astype(jnp.float32), hop, x_out, it_out,
+               z_sc, lam_sc, xe_sc, v_sc, Dc=Dc, var_deg=var_deg, mu=mu,
+               thresh=thresh, max_iter=max_iter)
+
+
+def _admm_kernel_fac(llr_ref, l_ref, m_ref, x_out, it_out, z_sc, lam_sc,
+                     xe_sc, v_sc, *, Dc, C, lane, var_deg, mu, thresh,
+                     max_iter):
+    """ADMM over digit-factorized tables (``slot_tables_factored``) for
+    graphs whose dense one-hots exceed VMEM (margulis): same core, the
+    hops run one lane-wide matmul per variable group with 0/1 group
+    masks — bit-identical f32 results at ~16x smaller tables. The
+    variable axis is pre-padded to H * lane by the wrapper."""
+    f32 = jnp.float32
+    n_grp = m_ref.shape[1]
+
+    def hop(val, d, transposed):
+        if transposed:          # [bs, V_pad] -> [bs, C] (gather)
+            acc = None
+            for h in range(n_grp):
+                g = _dot_split(val[:, h * lane:(h + 1) * lane],
+                               l_ref[d], transposed=True) * m_ref[d, h]
+                acc = g if acc is None else acc + g
+            return acc
+        outs = []               # [bs, C] -> [bs, V_pad] (scatter)
+        for h in range(n_grp):
+            outs.append(_dot_split(val * m_ref[d, h], l_ref[d],
+                                   transposed=False))
+        return jnp.concatenate(outs, axis=-1)
+
+    _admm_core(llr_ref[:].astype(f32), hop, x_out, it_out,
+               z_sc, lam_sc, xe_sc, v_sc, Dc=Dc, var_deg=var_deg, mu=mu,
+               thresh=thresh, max_iter=max_iter)
+
+
+def _admm_core(gamma, hop, x_out, it_out, z_sc, lam_sc, xe_sc, v_sc, *,
+               Dc, var_deg, mu, thresh, max_iter):
+    f32 = jnp.float32
     inv_mu = 1.0 / mu
     big = jnp.asarray(jnp.inf, f32)
 
-    # ADMM trajectories are precision-sensitive (bf16-quantized operands
-    # measurably shift WER — decoders/admm.py precision note), so every
-    # value-side dot splits the f32 operand into bf16 hi + lo parts:
-    # hi/lo products against the one-hot table are exact, and their f32
-    # sum recovers float32 fidelity at the cost of a second dot.
-    def dot_split(val, a, transposed):
-        hi = val.astype(jnp.bfloat16)
-        lo = (val - hi.astype(f32)).astype(jnp.bfloat16)
-        if transposed:
-            dn = (((1,), (1,)), ((), ()))
-        else:
-            dn = (((1,), (0,)), ((), ()))
-        out = jax.lax.dot_general(hi, a, dimension_numbers=dn,
-                                  preferred_element_type=f32)
-        return out + jax.lax.dot_general(lo, a, dimension_numbers=dn,
-                                         preferred_element_type=f32)
-
-    # init: z = 0.5 everywhere, lam = 0 (data-dependent zeros).
-    zero_c = None
+    # init: z = 0.5 everywhere, lam = 0 (data-dependent zeros: Mosaic
+    # gives constant loop-carry inits a lane-replicated layout and then
+    # rejects the relayout when the body produces a regular vector).
+    zero_c = hop(gamma, 0, transposed=True) * 0.0
     for d in range(Dc):
-        ed = jax.lax.dot_general(
-            gamma.astype(jnp.bfloat16), a_ref[d],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
-        if d == 0:
-            zero_c = ed * 0.0
         z_sc[d] = zero_c + 0.5
         lam_sc[d] = zero_c
     zero_v = gamma * 0.0
 
     def body(_, carry):
         done_v, done_c, updates_c = carry
-        z = [z_sc[d][:] for d in range(Dc)]
-        lam = [lam_sc[d][:] for d in range(Dc)]
 
-        # x-update (admm.py:56-57).
+        # x-update (admm.py:56-57). State is read from scratch ON
+        # DEMAND — holding z/lam/x_e/v as Dc-plane SSA lists across the
+        # hop loops blows the compiler's live-range budget at margulis
+        # scale (chip-bisected: the x_e+v lists alone kill the compile
+        # even at block 16); scratch reads keep ranges one use long.
         acc = gamma * (-inv_mu)
         for d in range(Dc):
-            acc = acc + dot_split(z[d] - lam[d] * inv_mu, a_ref[d],
-                                  transposed=False)
+            acc = acc + hop(z_sc[d][:] - lam_sc[d][:] * inv_mu, d,
+                            transposed=False)
         x = jnp.clip(acc / float(var_deg), 0.0, 1.0)
 
         # z-update: project v = x_e + lam/mu onto PP_Dc per check row.
-        x_e = []
-        v = []
         for d in range(Dc):
-            ed = dot_split(x, a_ref[d], transposed=True)
-            x_e.append(ed)
-            v.append(ed + lam[d] * inv_mu)
+            ed = hop(x, d, transposed=True)
+            xe_sc[d] = ed
+            v_sc[d] = ed + lam_sc[d][:] * inv_mu
+
+        def v(d):
+            return v_sc[d][:]
 
         # descending rank with index tie-break (projection.py:58-62).
         rank = [zero_c for _ in range(Dc)]
@@ -831,50 +926,68 @@ def _admm_kernel(llr_ref, a_ref, x_out, it_out, z_sc, lam_sc, *, Dc, C, V,
             for e in range(Dc):
                 if e == d:
                     continue
-                gt = (v[e] > v[d]) | ((v[e] == v[d]) & (e < d))
+                gt = (v(e) > v(d)) | ((v(e) == v(d)) & (e < d))
                 r = r + gt.astype(f32)
             rank[d] = r
 
-        zc = [jnp.clip(p, 0.0, 1.0) for p in v]
+        # zc/f are one clip/compare from live state — recomputed at
+        # every use instead of kept as Dc-plane lists, and the 13
+        # candidate/T(beta) planes fold INCREMENTALLY (two passes over
+        # recomputed candidates). Same values in the same fold order as
+        # the materialized form (bit-identical beta), at ~24 fewer live
+        # [bs, C] planes.
+        def zc_of(d):
+            return jnp.clip(v(d), 0.0, 1.0)
+
         s = zero_c
         for d in range(Dc):
-            s = s + zc[d]
+            s = s + zc_of(d)
         s = jnp.floor(s)
         r_par = s - jnp.mod(s, 2.0)
-        f = [jnp.where(rank[d] <= r_par, 1.0, -1.0) for d in range(Dc)]
+
+        def f_of(d):
+            return jnp.where(rank[d] <= r_par, 1.0, -1.0)
+
         fz = zero_c
         for d in range(Dc):
-            fz = fz + f[d] * zc[d]
+            fz = fz + f_of(d) * zc_of(d)
         easy = fz <= r_par
 
         # T at the 2*Dc clamped candidates + beta = 0 (projection.py:71-95).
         def t_of(beta):
             acc_t = zero_c
             for d in range(Dc):
-                acc_t = acc_t + f[d] * jnp.clip(v[d] - beta * f[d],
-                                                0.0, 1.0)
+                fd = f_of(d)
+                acc_t = acc_t + fd * jnp.clip(v(d) - beta * fd, 0.0, 1.0)
             return acc_t
 
-        cands = [zero_c]                             # beta = 0, T = fz
-        ts = [fz]
-        for d in range(Dc):
-            top = f[d] > 0
-            for c in (jnp.where(top, v[d] - 1.0, -v[d]),
-                      jnp.where(top, v[d], 1.0 - v[d])):
-                c = jnp.maximum(c, 0.0)
-                cands.append(c)
-                ts.append(t_of(c))
+        def fold_cands(update):
+            update(zero_c, fz)                       # beta = 0, T = fz
+            for d in range(Dc):
+                top = f_of(d) > 0
+                for c in (jnp.where(top, v(d) - 1.0, -v(d)),
+                          jnp.where(top, v(d), 1.0 - v(d))):
+                    c = jnp.maximum(c, 0.0)
+                    update(c, t_of(c))
 
         lo = zero_c
         hi = zero_c + big
-        for c, t in zip(cands, ts):
+
+        def upd_bracket(c, t):
+            nonlocal lo, hi
             lo = jnp.where(t >= r_par, jnp.maximum(lo, c), lo)
             hi = jnp.where(t <= r_par, jnp.minimum(hi, c), hi)
+
+        fold_cands(upd_bracket)
         t_lo = zero_c - big
         t_hi = zero_c + big
-        for c, t in zip(cands, ts):
+
+        def upd_t(c, t):
+            nonlocal t_lo, t_hi
             t_lo = jnp.where(c == lo, jnp.maximum(t_lo, t), t_lo)
             t_hi = jnp.where(c == hi, jnp.minimum(t_hi, t), t_hi)
+
+        fold_cands(upd_t)
         denom = t_lo - t_hi
         beta = jnp.where(denom > 0,
                          lo + (t_lo - r_par) * (hi - lo)
@@ -884,13 +997,16 @@ def _admm_kernel(llr_ref, a_ref, x_out, it_out, z_sc, lam_sc, *, Dc, C, V,
         d2 = zero_c
         active_c = done_c == 0.0
         for d in range(Dc):
-            z_new = jnp.where(easy, zc[d],
-                              jnp.clip(v[d] - beta * f[d], 0.0, 1.0))
-            d1 = d1 + (x_e[d] - z_new) ** 2
-            d2 = d2 + (z[d] - z_new) ** 2
-            z_sc[d] = jnp.where(active_c, z_new, z[d])
+            z_new = jnp.where(easy, zc_of(d),
+                              jnp.clip(v(d) - beta * f_of(d), 0.0, 1.0))
+            xe_d = xe_sc[d][:]
+            z_d = z_sc[d][:]
+            d1 = d1 + (xe_d - z_new) ** 2
+            d2 = d2 + (z_d - z_new) ** 2
+            z_sc[d] = jnp.where(active_c, z_new, z_d)
             lam_sc[d] = jnp.where(active_c,
-                                  lam[d] + mu * (x_e[d] - z_new), lam[d])
+                                  lam_sc[d][:] + mu * (xe_d - z_new),
+                                  lam_sc[d][:])
 
         # convergence: ||x_e - z||^2 and ||dz||^2 < eps^2 * nnz
         # (admm.py:15-25), per word.
@@ -953,9 +1069,67 @@ def admm_decode_pallas(a_tab, llr, *, mu: float, eps: float,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Dc, block, C), jnp.float32),
-            pltpu.VMEM((Dc, block, C), jnp.float32),
+            pltpu.VMEM((Dc, block, C), jnp.float32),   # z
+            pltpu.VMEM((Dc, block, C), jnp.float32),   # lam
+            pltpu.VMEM((Dc, block, C), jnp.float32),   # x_e (staged)
+            pltpu.VMEM((Dc, block, C), jnp.float32),   # v (staged)
         ],
         interpret=interpret,
     )(llr.astype(jnp.float32), a_tab)
     return x_hat[:B0], iters[:B0, 0]
+
+
+def admm_decode_pallas_factored(l_tab, m_tab, v_real, llr, *, mu: float,
+                                eps: float, max_iter: int, n_edge: int,
+                                var_deg: int, block: int = 32,
+                                interpret: bool = False):
+    """Fused ADMM over digit-factorized tables (margulis-scale graphs
+    whose dense one-hots exceed VMEM): llr [B, V] -> (x_hat, iters).
+    The variable axis pads to H * lane in-kernel-shape (pad variables
+    touch no check: their x column clips to 0 and is trimmed)."""
+    Dc, C, lane = l_tab.shape
+    n_grp = m_tab.shape[1]
+    v_pad = n_grp * lane
+    B0, V0 = llr.shape
+    assert V0 == v_real <= v_pad
+    llr = jnp.concatenate(
+        [llr, jnp.ones((B0, v_pad - V0), llr.dtype)], axis=1)
+    if B0 % block:
+        pad = block - B0 % block
+        llr = jnp.concatenate(
+            [llr, jnp.zeros((pad, v_pad), llr.dtype)], axis=0)
+    B = llr.shape[0]
+    kern = functools.partial(_admm_kernel_fac, Dc=Dc, C=C, lane=lane,
+                             var_deg=int(var_deg), mu=float(mu),
+                             thresh=float(eps) ** 2 * int(n_edge),
+                             max_iter=int(max_iter))
+    x_hat, iters = pl.pallas_call(
+        kern,
+        grid=(B // block,),
+        in_specs=[
+            pl.BlockSpec((block, v_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dc, C, lane), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dc, n_grp, 1, C), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, v_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, v_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Dc, block, C), jnp.float32),   # z
+            pltpu.VMEM((Dc, block, C), jnp.float32),   # lam
+            pltpu.VMEM((Dc, block, C), jnp.float32),   # x_e (staged)
+            pltpu.VMEM((Dc, block, C), jnp.float32),   # v (staged)
+        ],
+        interpret=interpret,
+    )(llr.astype(jnp.float32), l_tab, m_tab)
+    return x_hat[:B0, :V0], iters[:B0, 0]

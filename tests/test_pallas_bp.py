@@ -271,3 +271,56 @@ def test_pallas_spa_exact_f32_kernels_bsc(code):
         word_p = (np.asarray(xp) != 0).any(1)
         assert bit_agree >= 0.999, (policy, bit_agree)
         assert (word_r == word_p).mean() >= 0.99, policy
+
+
+def test_pallas_admm_factored_bit_equal_dense(code):
+    """Digit-factorized hops vs dense one-hot hops on the same graph:
+    the group mask only zeroes terms the dense contraction also zeroes,
+    in the same contraction order, so factored ADMM must be BIT-equal
+    to the dense kernel — decisions and iteration counts."""
+    from ldpc_decoders_tpu.ops.pallas_bp import (
+        admm_decode_pallas,
+        admm_decode_pallas_factored,
+        slot_tables_factored,
+    )
+
+    B = 64
+    key = jax.random.PRNGKey(17)
+    xw = jnp.zeros((B, code.get_n()), jnp.int32)
+    y = biawgn.send(key, xw, 3.0)
+    llr = biawgn.llr(y, 3.0).astype(jnp.float32)
+
+    a_tab, _ = slot_tables(code.graph)
+    l_tab, m_tab, _ = slot_tables_factored(code.graph)
+    kw = dict(mu=3.0, eps=1e-5, max_iter=30, n_edge=code.graph.n_edge,
+              var_deg=3, interpret=True)
+    xd, it_d = admm_decode_pallas(a_tab, llr, **kw)
+    xf, it_f = admm_decode_pallas_factored(l_tab, m_tab, code.get_n(),
+                                           llr, **kw)
+    np.testing.assert_array_equal(np.asarray(xd), np.asarray(xf))
+    np.testing.assert_array_equal(np.asarray(it_d), np.asarray(it_f))
+
+
+def test_pallas_admm_factored_margulis_matches_xla():
+    """Margulis (dense tables ~42 MB, VMEM-ineligible) through the
+    factored fused kernel vs the XLA gather route — same trajectory
+    bar as the dense kernel test."""
+    from ldpc_decoders_tpu.decoders.admm import ADMMDecoder
+    from ldpc_decoders_tpu.ops.pallas_bp import factored_tables_fit_vmem
+
+    mar = get_code("margulis")
+    assert factored_tables_fit_vmem(mar.graph)
+    B = 16
+    key = jax.random.PRNGKey(19)
+    xw = jnp.zeros((B, mar.get_n()), jnp.int32)
+    y = biawgn.send(key, xw, 3.0)
+    llr = biawgn.llr(y, 3.0)
+
+    ref = ADMMDecoder(mar.graph, mu=3.0, eps=1e-5, max_iter=20)
+    xr, ir = jax.jit(ref.decode)(llr)
+    pal = ADMMDecoder(mar.graph, mu=3.0, eps=1e-5, max_iter=20,
+                      perm="pallas")
+    assert pal._pallas_a is None and pal._pallas_lm is not None
+    xp, ip = pal.decode(llr)
+    assert (np.asarray(xr) == np.asarray(xp)).mean() >= 0.999
+    assert (np.asarray(ir) == np.asarray(ip)).mean() >= 0.9
