@@ -88,8 +88,21 @@ class BECSPADecoder:
                 self.graph.max_chk_deg, self.graph.max_var_deg):
             raise ValueError("member graph has different padded shapes")
         if self.perm == "pallas":
-            from ldpc_decoders_tpu.ops.pallas_bp import slot_tables
-            pa, ph = slot_tables(g)
+            from ldpc_decoders_tpu.ops.pallas_bp import (
+                factored_tables_fit_vmem,
+                slot_tables,
+                slot_tables_factored,
+                tables_fit_vmem,
+            )
+            if tables_fit_vmem(g):
+                pa, ph = slot_tables(g)
+                self._pallas_fac = False
+            elif factored_tables_fit_vmem(g):
+                pa, ph, _ = slot_tables_factored(g)
+                self._pallas_fac = True
+            else:
+                raise ValueError("graph too large for the fused BEC "
+                                 "kernel (factored tables exceed VMEM)")
             return {"pa": pa, "ph": ph}
         E, Ep = g.n_edge, max(int(n_edge_pad), g.n_edge)
         chk_edge = np.asarray(g.chk_edge)
@@ -119,7 +132,8 @@ class BECSPADecoder:
             from ldpc_decoders_tpu.ops.pallas_bp import bec_spa_decode_pallas
             return bec_spa_decode_pallas(
                 t["pa"], t["ph"], y, max_iter=self.iter_cap,
-                interpret=jax.default_backend() == "cpu")
+                interpret=jax.default_backend() == "cpu",
+                fac=self._pallas_fac)
         g = self.graph
         B = y.shape[0]
 
@@ -203,7 +217,8 @@ class BECSPADecoder:
             x_hats, iters = bec_spa_decode_pallas(
                 self.tables["pa"], self.tables["ph"], y,
                 max_iter=caps[-1],
-                interpret=jax.default_backend() == "cpu", caps=caps)
+                interpret=jax.default_backend() == "cpu", caps=caps,
+                fac=self._pallas_fac)
             caps_arr = jnp.asarray(caps, jnp.int32)
             return x_hats, jnp.minimum(iters[None], caps_arr[:, None])
         graph = self.graph

@@ -272,8 +272,23 @@ class BPDecoder:
             raise ValueError("member graph has different padded shapes")
         t = {"cmask": g.chk_mask, "vmask": g.var_mask}
         if self.perm == "pallas":
-            from ldpc_decoders_tpu.ops.pallas_bp import slot_tables
-            t["pa"], t["ph"] = slot_tables(g)
+            from ldpc_decoders_tpu.ops.pallas_bp import (
+                factored_tables_fit_vmem,
+                slot_tables,
+                slot_tables_factored,
+                tables_fit_vmem,
+            )
+            if tables_fit_vmem(g):
+                t["pa"], t["ph"] = slot_tables(g)
+                self._pallas_fac = False
+            elif factored_tables_fit_vmem(g):
+                # Margulis-scale: digit-factorized tables (bit-identical
+                # hops at ~16x smaller footprint; ops/pallas_bp.py).
+                t["pa"], t["ph"], _ = slot_tables_factored(g)
+                self._pallas_fac = True
+            else:
+                raise ValueError("graph too large for the fused BP "
+                                 "kernels (factored tables exceed VMEM)")
             return t
         if self.perm == "incidence":
             t["a_sum"] = jnp.asarray(perm_ops.var_sum_matrix(g), dt)
@@ -491,7 +506,8 @@ class BPDecoder:
             return fn(t["pa"], t["ph"], llr.astype(jnp.float32),
                       max_iter=self.iter_cap, check_init=self.check_init,
                       interpret=jax.default_backend() == "cpu",
-                      exact_f32=self.msg_dtype == jnp.float32)
+                      exact_f32=self.msg_dtype == jnp.float32,
+                      fac=self._pallas_fac)
         llr = llr.astype(jnp.float32)
         B = llr.shape[0]
 
@@ -554,7 +570,8 @@ class BPDecoder:
                 t["pa"], t["ph"], llr.astype(jnp.float32),
                 max_iter=caps[-1], check_init=self.check_init,
                 interpret=jax.default_backend() == "cpu",
-                exact_f32=self.msg_dtype == jnp.float32, caps=caps)
+                exact_f32=self.msg_dtype == jnp.float32, caps=caps,
+                fac=self._pallas_fac)
             caps_arr = jnp.asarray(caps, jnp.int32)
             return x_hats, jnp.minimum(iters[None], caps_arr[:, None])
         t = self.tables

@@ -131,8 +131,12 @@ class CapSweepRunner:
                 return  # interpreter-mode kernels are for tests only
             if not kernel_policy_ok(cfg):
                 return
-            from ldpc_decoders_tpu.ops.pallas_bp import tables_fit_vmem
-            if not tables_fit_vmem(self.code.graph):
+            from ldpc_decoders_tpu.ops.pallas_bp import (
+                factored_tables_fit_vmem,
+                tables_fit_vmem,
+            )
+            if not (tables_fit_vmem(self.code.graph)
+                    or factored_tables_fit_vmem(self.code.graph)):
                 return
         kw = dict(max_iter=self.caps[-1], iter_cap=cfg.iter_cap,
                   msg_dtype=jnp.dtype(cfg.msg_dtype),

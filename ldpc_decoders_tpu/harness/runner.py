@@ -308,13 +308,9 @@ class MonteCarloRunner:
                 factored_tables_fit_vmem,
                 tables_fit_vmem,
             )
-            if not tables_fit_vmem(self.code.graph):
-                # ADMM has a digit-factorized table route for
-                # margulis-scale graphs (slot_tables_factored); the BP
-                # kernels still need resident dense tables.
-                if not (cfg.decoder == "ADMM"
-                        and factored_tables_fit_vmem(self.code.graph)):
-                    return
+            if not (tables_fit_vmem(self.code.graph)
+                    or factored_tables_fit_vmem(self.code.graph)):
+                return  # beyond even the digit-factorized tables
         kw = cfg.decoder_kwargs()
         kw["perm"] = "pallas"
         if cfg.decoder in ("SPA", "MSA") and cfg.channel != "bec":

@@ -82,7 +82,7 @@ def factored_tables_fit_vmem(graph: TannerGraph,
     g = graph
     n_grp = -(-g.n_var // lane)
     l_bytes = g.max_chk_deg * g.n_chk * lane * 2
-    m_bytes = g.max_chk_deg * n_grp * g.n_chk * 4
+    m_bytes = g.max_chk_deg * n_grp * g.n_chk * 2
     return l_bytes + m_bytes <= budget_bytes
 
 
@@ -102,7 +102,7 @@ def slot_tables_factored(graph: TannerGraph, lane: int = 128):
     zeroes terms the dense contraction also zeroes, in the same
     contraction order), at lane/V the table footprint.
 
-    Returns (L [Dc, C, lane] bf16, M [Dc, H, 1, C] f32, v_pad) with
+    Returns (L [Dc, C, lane] bf16, M [Dc, H, 1, C] bf16, v_pad) with
     v_pad = H * lane; callers pad the variable axis to v_pad (pad
     variables touch no check, so they are inert). M carries a unit
     sublane axis so an in-kernel M[d, h] slice is 2-D [1, C] — Mosaic
@@ -122,8 +122,10 @@ def slot_tables_factored(graph: TannerGraph, lane: int = 128):
         v_of_c = edge_var[chk_edge[:, d]]
         lo[d, np.arange(C), v_of_c % lane] = 1.0
         grp[d, v_of_c // lane, np.arange(C)] = 1.0
+    # M is 0/1: bf16 is exact and halves its footprint (the factored
+    # ADMM kernel sits within ~100 KB of the 16 MB scoped-vmem limit).
     return (jnp.asarray(lo, jnp.bfloat16),
-            jnp.asarray(grp[:, :, None, :], jnp.float32), n_grp * lane)
+            jnp.asarray(grp[:, :, None, :], jnp.bfloat16), n_grp * lane)
 
 
 def _bounded_loop(max_iter, body, carry, done_idx):
@@ -178,6 +180,80 @@ def _onehot_dot(val, a, *, transposed, exact):
     return (one(s1) + one(s2)) + one(s3)
 
 
+def _bp_table_ops(t1_ref, t2_ref, *, Dc, exact_f32, fac):
+    """(hop, scatter01, syndrome_ok) over either table format.
+
+    Dense (``fac=False``): t1 = A [Dc, C, V] one-hots, t2 = H [V, C].
+    Factored (``fac=True``): t1 = L [Dc, C, lane], t2 = M [Dc, H, 1, C]
+    (bf16 0/1 masks — exact multipliers)
+    (``slot_tables_factored``) — for graphs whose dense tables exceed
+    VMEM. Hops are bit-identical across formats (the group mask only
+    zeroes terms the dense contraction also zeroes, in order); the
+    syndrome becomes the sum of the Dc slot gathers of x (exact 0/1
+    arithmetic), replacing the [V, C] H dot.
+
+    ``scatter01`` is the single-pass bf16 scatter for 0/1 indicator
+    planes (exact in bf16) used by the refmode SPA class sums."""
+    f32 = jnp.float32
+    if not fac:
+        def hop(val, d, transposed):
+            return _onehot_dot(val, t1_ref[d], transposed=transposed,
+                               exact=exact_f32)
+
+        def scatter01(ind, d):
+            return jnp.dot(ind.astype(jnp.bfloat16), t1_ref[d],
+                           preferred_element_type=f32)
+
+        def syndrome_ok(xf):
+            """[bs, V] bits -> [bs, 1] float 0/1. Only ever BROADCAST
+            from this narrow shape — Mosaic rejects relayouts of
+            lane-width-1 vectors carried across loop iterations, so the
+            loop carries full-width done masks instead."""
+            s = jnp.dot(xf.astype(jnp.bfloat16), t2_ref[:],
+                        preferred_element_type=f32)
+            bad = (s.astype(jnp.int32) % 2).sum(axis=-1, keepdims=True)
+            return (bad == 0).astype(f32)
+
+        return hop, scatter01, syndrome_ok
+
+    n_grp = t2_ref.shape[1]
+    lane = t1_ref.shape[2]
+
+    def one(x, d, transposed, exact):
+        return _onehot_dot(x, t1_ref[d], transposed=transposed,
+                           exact=exact)
+
+    def gather(val, d, exact):
+        acc = None
+        for h in range(n_grp):
+            g = one(val[:, h * lane:(h + 1) * lane], d, True, exact) \
+                * t2_ref[d, h]
+            acc = g if acc is None else acc + g
+        return acc
+
+    def hop(val, d, transposed):
+        if transposed:
+            return gather(val, d, exact_f32)
+        return jnp.concatenate(
+            [one(val * t2_ref[d, h], d, False, exact_f32)
+             for h in range(n_grp)], axis=-1)
+
+    def scatter01(ind, d):
+        return jnp.concatenate(
+            [one(ind * t2_ref[d, h], d, False, False)
+             for h in range(n_grp)], axis=-1)
+
+    def syndrome_ok(xf):
+        s = None
+        for d in range(Dc):
+            g = gather(xf, d, False)         # 0/1 gathers: exact in bf16
+            s = g if s is None else s + g
+        bad = (s.astype(jnp.int32) % 2).sum(axis=-1, keepdims=True)
+        return (bad == 0).astype(f32)
+
+    return hop, scatter01, syndrome_ok
+
+
 def _snap_write(x_out, caps, it, x_hat):
     """Multi-cap: plane k is written ONCE, in the body iteration that
     completes caps[k] iterations (0-based ``it`` == caps[k]-1). A
@@ -204,25 +280,13 @@ def _snap_fill(x_out, caps, t, x_hat):
 
 
 def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-            max_iter, check_init, exact_f32=False, caps=None):
+            max_iter, check_init, exact_f32=False, caps=None, fac=False):
     f32 = jnp.float32
     llr = llr_ref[:].astype(f32)                     # [bs, V]
     bs = llr.shape[0]
     msg_dt = f32 if exact_f32 else jnp.bfloat16
-
-    def hop(val, d, transposed):
-        return _onehot_dot(val, a_ref[d], transposed=transposed,
-                           exact=exact_f32)
-
-    def syndrome_ok(xf):
-        """[bs, V] bits -> [bs, 1] float 0/1. Only ever BROADCAST from
-        this narrow shape — Mosaic rejects relayouts of lane-width-1
-        vectors carried across fori iterations, so the loop carries the
-        full-width [bs, V]/[bs, C] done masks instead."""
-        s = jnp.dot(xf.astype(jnp.bfloat16), h_ref[:],
-                    preferred_element_type=f32)
-        bad = (s.astype(jnp.int32) % 2).sum(axis=-1, keepdims=True)
-        return (bad == 0).astype(f32)
+    hop, _, syndrome_ok = _bp_table_ops(a_ref, h_ref, Dc=Dc,
+                                        exact_f32=exact_f32, fac=fac)
 
     x0 = (llr < 0).astype(f32)
 
@@ -305,13 +369,29 @@ def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
     it_out[:] = iters_c[:, 0:1].astype(jnp.int32)
 
 
-def _launch_bp(kern, batched, a_tab, h_tab, *, block, scratch_dt,
+def _bp_pad_v(vals, fac, t1, t2, fill):
+    """Factored mode: pad the variable axis to H * lane (pad variables
+    touch no check — inert). Returns (padded, v_pad)."""
+    if not fac:
+        return vals, vals.shape[1]
+    v_pad = t2.shape[1] * t1.shape[2]
+    B0, V0 = vals.shape
+    if V0 < v_pad:
+        vals = jnp.concatenate(
+            [vals, jnp.full((B0, v_pad - V0), fill, vals.dtype)], axis=1)
+    return vals, v_pad
+
+
+def _launch_bp(kern, batched, t1, t2, *, block, scratch_dt,
                interpret, caps=None):
     """Shared pallas_call plumbing for the four BP kernels: pad the batch
-    to a block multiple, wire the (llr/y, A, H) input specs, and shape
+    to a block multiple, wire the (llr/y, tables) input specs, and shape
     the decision output — [B, V] single-cap, [K, B, V] when ``caps``
-    snapshot planes are requested. Returns (x_hat, iters [B])."""
-    Dc, C, V = a_tab.shape
+    snapshot planes are requested. Tables are dense (A, H) or factored
+    (L, M) — specs derive from their shapes. Returns (x_hat, iters [B]);
+    factored-mode V padding is the caller's job (``_bp_pad_v``)."""
+    Dc, C = t1.shape[0], t1.shape[1]
+    V = batched.shape[1]
     B0 = batched.shape[0]
     if B0 % block:
         pad = block - B0 % block
@@ -333,9 +413,9 @@ def _launch_bp(kern, batched, a_tab, h_tab, *, block, scratch_dt,
         in_specs=[
             pl.BlockSpec((block, V), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Dc, C, V), lambda i: (0, 0, 0),
+            pl.BlockSpec(t1.shape, lambda i, n=t1.ndim: (0,) * n,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, C), lambda i: (0, 0),
+            pl.BlockSpec(t2.shape, lambda i, n=t2.ndim: (0,) * n,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -351,7 +431,7 @@ def _launch_bp(kern, batched, a_tab, h_tab, *, block, scratch_dt,
             pltpu.VMEM((Dc, block, C), scratch_dt),
         ],
         interpret=interpret,
-    )(batched, a_tab, h_tab)
+    )(batched, t1, t2)
     if caps is None:
         return x_hat[:B0], iters[:B0, 0]
     return x_hat[:, :B0], iters[:B0, 0]
@@ -360,7 +440,7 @@ def _launch_bp(kern, batched, a_tab, h_tab, *, block, scratch_dt,
 def msa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
                       check_init: bool, block: int = 128,
                       interpret: bool = False, exact_f32: bool = False,
-                      caps=None):
+                      caps=None, fac: bool = False):
     """llr [B, V] -> (x_hat [B, V] int32, iters [B] int32).
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
@@ -389,18 +469,23 @@ def msa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
         block = min(block, 64)
     elif exact_f32:
         block = min(block, 64)
+    V0 = llr.shape[1]
+    llr, _ = _bp_pad_v(llr.astype(jnp.float32), fac, a_tab, h_tab, 1.0)
+    if fac:
+        block = min(block, 32)
     kern = functools.partial(_kernel, Dc=a_tab.shape[0], C=a_tab.shape[1],
-                             V=a_tab.shape[2], max_iter=int(max_iter),
+                             V=llr.shape[1], max_iter=int(max_iter),
                              check_init=bool(check_init),
-                             exact_f32=bool(exact_f32), caps=caps)
-    return _launch_bp(kern, llr.astype(jnp.float32), a_tab, h_tab,
-                      block=block,
-                      scratch_dt=jnp.float32 if exact_f32 else jnp.bfloat16,
-                      interpret=interpret, caps=caps)
+                             exact_f32=bool(exact_f32), caps=caps, fac=fac)
+    x, iters = _launch_bp(kern, llr, a_tab, h_tab, block=block,
+                          scratch_dt=(jnp.float32 if exact_f32
+                                      else jnp.bfloat16),
+                          interpret=interpret, caps=caps)
+    return x[..., :V0], iters
 
 
 def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-                max_iter, caps=None):
+                max_iter, caps=None, fac=False):
     """Ternary erasure SPA, whole loop VMEM-resident (reference
     src/bec.py:70-122 semantics: echo / single-unknown parity resolve /
     stopping-set exit). All values are small integers, so every dot
@@ -408,16 +493,17 @@ def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
     bit-equal to BECSPADecoder (tested)."""
     f32 = jnp.float32
     y = y_ref[:].astype(f32)                         # [bs, V] in {0,1,2}
+    # All values are small integers: every hop is exact in single-pass
+    # bf16 (exact_f32 never needed).
+    hop, _, _ = _bp_table_ops(a_ref, h_ref, Dc=Dc, exact_f32=False,
+                              fac=fac)
     # symbol -> message {-1,+1,0}; keep x_hat as the marginal SIGN.
     priors = jnp.where(y == 2.0, 0.0, 2.0 * y - 1.0)
     x0 = priors
 
     zero_c = None
     for d in range(Dc):
-        ed = jax.lax.dot_general(
-            priors.astype(jnp.bfloat16), a_ref[d],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32)              # [bs, C]
+        ed = hop(priors, d, transposed=True)         # [bs, C]
         v2c[d] = ed.astype(jnp.bfloat16)
         if d == 0:
             zero_c = ed * 0.0
@@ -452,8 +538,7 @@ def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
                            jnp.where(unknowns == 1.0,
                                      (1.0 - known) * parity, 0.0))
             c2v.append(cd)
-            marg = marg + jnp.dot(cd.astype(jnp.bfloat16), a_ref[d],
-                                  preferred_element_type=f32)
+            marg = marg + hop(cd, d, transposed=False)
 
         x_new = jnp.sign(marg)
         active_v = done_v == 0.0
@@ -462,12 +547,8 @@ def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         same = ((x_new == x_hat).astype(f32).sum(axis=-1, keepdims=True)
                 == float(V)).astype(f32)
         x_hat = jnp.where(active_v, x_new, x_hat)
-        marg_b = marg.astype(jnp.bfloat16)
         for d in range(Dc):
-            ed = jax.lax.dot_general(
-                marg_b, a_ref[d],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32)          # [bs, C]
+            ed = hop(marg, d, transposed=True)       # [bs, C]
             nv = jnp.sign(ed - c2v[d]).astype(jnp.bfloat16)
             v2c[d] = jnp.where(active_c, nv, v2c[d][:])
         iters_c = iters_c + active_c
@@ -489,18 +570,23 @@ def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
 
 def bec_spa_decode_pallas(a_tab, h_tab, y, *, max_iter: int,
                           block: int = 128, interpret: bool = False,
-                          caps=None):
+                          caps=None, fac: bool = False):
     """y [B, V] symbols {0,1,2} -> (x_hat [B, V] int32, iters [B]).
     ``caps``: snapshot planes, see ``msa_decode_pallas``."""
     if caps is not None:
         assert int(max_iter) == int(caps[-1])
         block = min(block, 64)
+    V0 = y.shape[1]
+    y, _ = _bp_pad_v(y.astype(jnp.int32), fac, a_tab, h_tab, 0)
+    if fac:
+        block = min(block, 32)
     kern = functools.partial(_bec_kernel, Dc=a_tab.shape[0],
-                             C=a_tab.shape[1], V=a_tab.shape[2],
-                             max_iter=int(max_iter), caps=caps)
-    return _launch_bp(kern, y.astype(jnp.int32), a_tab, h_tab,
-                      block=block, scratch_dt=jnp.bfloat16,
-                      interpret=interpret, caps=caps)
+                             C=a_tab.shape[1], V=y.shape[1],
+                             max_iter=int(max_iter), caps=caps, fac=fac)
+    x, iters = _launch_bp(kern, y, a_tab, h_tab,
+                          block=block, scratch_dt=jnp.bfloat16,
+                          interpret=interpret, caps=caps)
+    return x[..., :V0], iters
 
 
 # float32 phi-domain ladder, mirrored from decoders/bp.py.
@@ -519,7 +605,8 @@ def _phi(x):
 
 
 def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-                max_iter, check_init, exact_f32=False, caps=None):
+                max_iter, check_init, exact_f32=False, caps=None,
+                fac=False):
     """SPA (inf_policy='saturate'), whole loop VMEM-resident. Same
     structure as the MSA kernel; the check node is the phi-domain
     leave-one-out computed with the same prefix/suffix fold ordering as
@@ -529,16 +616,8 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
     llr = llr_ref[:].astype(f32)
     bs = llr.shape[0]
     msg_dt = f32 if exact_f32 else jnp.bfloat16
-
-    def hop(val, d, transposed):
-        return _onehot_dot(val, a_ref[d], transposed=transposed,
-                           exact=exact_f32)
-
-    def syndrome_ok(xf):
-        s = jnp.dot(xf.astype(jnp.bfloat16), h_ref[:],
-                    preferred_element_type=f32)
-        bad = (s.astype(jnp.int32) % 2).sum(axis=-1, keepdims=True)
-        return (bad == 0).astype(f32)
+    hop, _, syndrome_ok = _bp_table_ops(a_ref, h_ref, Dc=Dc,
+                                        exact_f32=exact_f32, fac=fac)
 
     x0 = (llr < 0).astype(f32)
     zero_c = None
@@ -615,7 +694,7 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
 def spa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
                       check_init: bool, block: int = 128,
                       interpret: bool = False, exact_f32: bool = False,
-                      caps=None):
+                      caps=None, fac: bool = False):
     """Saturate-policy SPA: llr [B, V] -> (x_hat, iters).
     ``caps``: snapshot planes, see ``msa_decode_pallas``."""
     if caps is not None:
@@ -623,15 +702,20 @@ def spa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
         block = min(block, 64)     # see msa_decode_pallas
     elif exact_f32:
         block = min(block, 64)
+    V0 = llr.shape[1]
+    llr, _ = _bp_pad_v(llr.astype(jnp.float32), fac, a_tab, h_tab, 1.0)
+    if fac:
+        block = min(block, 32)
     kern = functools.partial(_spa_kernel, Dc=a_tab.shape[0],
-                             C=a_tab.shape[1], V=a_tab.shape[2],
+                             C=a_tab.shape[1], V=llr.shape[1],
                              max_iter=int(max_iter),
                              check_init=bool(check_init),
-                             exact_f32=bool(exact_f32), caps=caps)
-    return _launch_bp(kern, llr.astype(jnp.float32), a_tab, h_tab,
-                      block=block,
-                      scratch_dt=jnp.float32 if exact_f32 else jnp.bfloat16,
-                      interpret=interpret, caps=caps)
+                             exact_f32=bool(exact_f32), caps=caps, fac=fac)
+    x, iters = _launch_bp(kern, llr, a_tab, h_tab, block=block,
+                          scratch_dt=(jnp.float32 if exact_f32
+                                      else jnp.bfloat16),
+                          interpret=interpret, caps=caps)
+    return x[..., :V0], iters
 
 
 # Sentinel bands, mirrored from decoders/bp.py (bfloat16-robust).
@@ -642,7 +726,8 @@ _NAN_MIN = 1.5e9
 
 
 def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-                    max_iter, check_init, exact_f32=False, caps=None):
+                    max_iter, check_init, exact_f32=False, caps=None,
+                    fac=False):
     """SPA with the reference's float64 inf/NaN cascade (inf_policy=
     'reference'), sentinel-encoded, whole loop VMEM-resident. Plane
     translation of decoders/bp.spa_check_rows_ref + _spa_ref_step for
@@ -657,16 +742,8 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
     llr = llr_ref[:].astype(f32)
     bs = llr.shape[0]
     msg_dt = f32 if exact_f32 else jnp.bfloat16
-
-    def hop(val, d, transposed):
-        return _onehot_dot(val, a_ref[d], transposed=transposed,
-                           exact=exact_f32)
-
-    def syndrome_ok(xf):
-        s = jnp.dot(xf.astype(jnp.bfloat16), h_ref[:],
-                    preferred_element_type=f32)
-        bad = (s.astype(jnp.int32) % 2).sum(axis=-1, keepdims=True)
-        return (bad == 0).astype(f32)
+    hop, scatter01, syndrome_ok = _bp_table_ops(
+        a_ref, h_ref, Dc=Dc, exact_f32=exact_f32, fac=fac)
 
     x0 = (llr < 0).astype(f32)
     zero_c = None
@@ -740,10 +817,8 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         for d in range(Dc):
             fd = hop(finv[d], d, transposed=False)
             fsum = fd if fsum is None else fsum + fd
-            n_p = n_p + jnp.dot((cp[d] | cn[d]).astype(jnp.bfloat16),
-                                a_ref[d], preferred_element_type=f32)
-            n_n = n_n + jnp.dot((cm[d] | cn[d]).astype(jnp.bfloat16),
-                                a_ref[d], preferred_element_type=f32)
+            n_p = n_p + scatter01((cp[d] | cn[d]).astype(f32), d)
+            n_n = n_n + scatter01((cm[d] | cn[d]).astype(f32), d)
         fin_sum = llr + fsum
 
         is_nan = (n_p > 0.5) & (n_n > 0.5)
@@ -790,7 +865,7 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
 def spa_ref_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
                           check_init: bool, block: int = 64,
                           interpret: bool = False, exact_f32: bool = False,
-                          caps=None):
+                          caps=None, fac: bool = False):
     """Reference-inf-policy SPA: llr [B, V] -> (x_hat, iters).
 
     Default tile 64: the class machinery keeps more live [bs, C]
@@ -803,35 +878,32 @@ def spa_ref_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
         block = min(block, 64 if not exact_f32 else 32)
     elif exact_f32:
         block = min(block, 32)
+    V0 = llr.shape[1]
+    llr, _ = _bp_pad_v(llr.astype(jnp.float32), fac, a_tab, h_tab, 1.0)
+    if fac:
+        block = min(block, 16)
     kern = functools.partial(_spa_ref_kernel, Dc=a_tab.shape[0],
-                             C=a_tab.shape[1], V=a_tab.shape[2],
+                             C=a_tab.shape[1], V=llr.shape[1],
                              max_iter=int(max_iter),
                              check_init=bool(check_init),
-                             exact_f32=bool(exact_f32), caps=caps)
-    return _launch_bp(kern, llr.astype(jnp.float32), a_tab, h_tab,
-                      block=block,
-                      scratch_dt=jnp.float32 if exact_f32 else jnp.bfloat16,
-                      interpret=interpret, caps=caps)
+                             exact_f32=bool(exact_f32), caps=caps, fac=fac)
+    x, iters = _launch_bp(kern, llr, a_tab, h_tab, block=block,
+                          scratch_dt=(jnp.float32 if exact_f32
+                                      else jnp.bfloat16),
+                          interpret=interpret, caps=caps)
+    return x[..., :V0], iters
 
 
 def _dot_split(val, a, transposed):
-    """f32 value against a bf16 one-hot table at float32 fidelity: ADMM
-    trajectories are precision-sensitive (bf16-quantized operands
-    measurably shift WER — decoders/admm.py precision note), so every
-    value-side dot splits the f32 operand into bf16 hi + lo parts:
-    hi/lo products against the one-hot table are exact, and their f32
-    sum recovers float32 fidelity at the cost of a second dot."""
-    f32 = jnp.float32
-    hi = val.astype(jnp.bfloat16)
-    lo = (val - hi.astype(f32)).astype(jnp.bfloat16)
-    if transposed:
-        dn = (((1,), (1,)), ((), ()))
-    else:
-        dn = (((1,), (0,)), ((), ()))
-    out = jax.lax.dot_general(hi, a, dimension_numbers=dn,
-                              preferred_element_type=f32)
-    return out + jax.lax.dot_general(lo, a, dimension_numbers=dn,
-                                     preferred_element_type=f32)
+    """f32 value against a bf16 one-hot table, LOSSLESS: the 3-term bf16
+    split of ``_onehot_dot(exact=True)``. ADMM trajectories are
+    precision-sensitive; the earlier 2-term hi/lo split covered only
+    ~17 of float32's 24 mantissa bits, and on the BEC (degenerate
+    erasure LPs, run-to-convergence) the sub-2^-16 residue accumulated
+    into a measurable WER shift vs the exact-f32 XLA gather route
+    (margulis eps=0.4: fused 0.0131 vs golden 0.0080). Exactness costs
+    a third MXU pass."""
+    return _onehot_dot(val, a, transposed=transposed, exact=True)
 
 
 def _admm_kernel(llr_ref, a_ref, x_out, it_out, z_sc, lam_sc, xe_sc,

@@ -46,7 +46,7 @@ def main() -> None:
                          codeword=0, batch=16384)),
         # BSC float32 auto routes to the exact-f32 fused kernels (3-term
         # split hops; chip-validated: MSA 271k vs 111k XLA, refmode SPA
-        # 140k vs ~97k).
+        # 140k vs ~45k).
         ("bsc_msa_f32", dict(channel="bsc", decoder="MSA", params=[0.06],
                              codeword=1, batch=16384)),
         ("bsc_spa_ref_f32", dict(channel="bsc", decoder="SPA",
@@ -56,6 +56,11 @@ def main() -> None:
         # docs/SCALING.md "ADMM throughput: the measured roofline").
         ("admm", dict(channel="biawgn", decoder="ADMM", params=[3.0],
                       codeword=1, batch=16384, max_iter=50)),
+        # Margulis ADMM: dense one-hots exceed VMEM, so auto promotes
+        # the digit-factorized fused kernel (round 4).
+        ("mar_admm", dict(channel="bsc", code="margulis", decoder="ADMM",
+                          params=[0.06], codeword=1, batch=2048,
+                          max_iter=200, words=20_480)),
     ]
 
     lines = []
@@ -63,11 +68,15 @@ def main() -> None:
         if args.only and name not in args.only:
             continue
         for kernel in kw.pop("kernels", ("auto", "xla")):
-            cfg = RunConfig(code="1200_3_6_ldpc", min_wec=10 ** 9,
-                            max_words=args.words, log_freq=1e9,
+            code = kw.pop("code", "1200_3_6_ldpc")
+            words = kw.pop("words", args.words)
+            cfg = RunConfig(code=code, min_wec=10 ** 9,
+                            max_words=words, log_freq=1e9,
                             kernel=kernel, max_iter=kw.pop("max_iter", 10),
                             **kw)
             kw["max_iter"] = cfg.max_iter
+            kw["code"] = code
+            kw["words"] = words
             runner = MonteCarloRunner(cfg)
             t0 = time.time()
             res = runner.run()[cfg.params[0]]

@@ -10,6 +10,12 @@ Matches the reference's READ_ADMM.txt --max-iter=-1 usage.
 
 Deep-tail points are budget-capped (max_words) — the goldens' deepest
 (bsc p=0.05: WER 1e-5 over 606k words) gets a 400k-word budget here.
+
+iter_cap=8000 is LOAD-BEARING at the waterfall points: margulis ADMM
+words can converge after thousands of iterations, and the default 2000
+safety bound scores them as errors (bec eps=0.4 WER doubles to 0.0158;
+the 48c743e artifacts were generated at 8000 but the setting was never
+recorded here — round 4 restores it).
 """
 import logging
 import os
@@ -44,7 +50,7 @@ for channel, params, mw in CASES:
     t1 = time.time()
     cfg = RunConfig(channel, "margulis", "ADMM", params, codeword=1,
                     max_iter=0, min_wec=100, batch=2048, log_freq=30,
-                    max_words=mw, data_dir=data_dir)
+                    max_words=mw, data_dir=data_dir, iter_cap=8000)
     MonteCarloRunner(cfg).run()
     print("MAR ADMM %s done in %.1f s" % (channel, time.time() - t1),
           flush=True)

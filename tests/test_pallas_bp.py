@@ -324,3 +324,80 @@ def test_pallas_admm_factored_margulis_matches_xla():
     xp, ip = pal.decode(llr)
     assert (np.asarray(xr) == np.asarray(xp)).mean() >= 0.999
     assert (np.asarray(ir) == np.asarray(ip)).mean() >= 0.9
+
+
+def test_pallas_bp_factored_margulis_matches_xla():
+    """Margulis BP through the digit-factorized fused kernels vs the
+    XLA routes: MSA (exact-f32) decisions and iteration counts must be
+    bit-equal modulo float-sum grouping (same bar as the dense kernel);
+    the ternary BEC kernel is integer-exact, so strictly bit-equal."""
+    from ldpc_decoders_tpu.channels import bec, bsc
+    from ldpc_decoders_tpu.decoders.bec_spa import BECSPADecoder
+
+    mar = get_code("margulis")
+    B = 8
+    key = jax.random.PRNGKey(23)
+    xw = jnp.ones((B, mar.get_n()), jnp.int32)
+    y = bsc.send(key, xw, 0.05)
+    llr = bsc.llr(y, 0.05)
+
+    pal = BPDecoder(mar.graph, "MSA", max_iter=5, perm="pallas",
+                    msg_dtype=jnp.float32)
+    assert pal._pallas_fac
+    xp, ip = pal.decode(llr)
+    ref = BPDecoder(mar.graph, "MSA", max_iter=5)
+    xr, ir = ref.decode(llr)
+    np.testing.assert_array_equal(np.asarray(xp), np.asarray(xr))
+    np.testing.assert_array_equal(np.asarray(ip), np.asarray(ir))
+
+    yb = bec.send(key, xw, 0.4)
+    palb = BECSPADecoder(mar.graph, max_iter=5, perm="pallas")
+    assert palb._pallas_fac
+    xpb, ipb = palb.decode(yb)
+    xrb, irb = BECSPADecoder(mar.graph, max_iter=5).decode(yb)
+    np.testing.assert_array_equal(np.asarray(xpb), np.asarray(xrb))
+    np.testing.assert_array_equal(np.asarray(ipb), np.asarray(irb))
+
+
+@pytest.mark.parametrize("policy", ["saturate", "reference"])
+def test_pallas_spa_factored_margulis(policy):
+    """Factored SPA kernels (both inf policies) on margulis vs the XLA
+    refmode/saturate decoders."""
+    from ldpc_decoders_tpu.channels import bsc
+
+    mar = get_code("margulis")
+    B = 8
+    key = jax.random.PRNGKey(29)
+    xw = jnp.zeros((B, mar.get_n()), jnp.int32)
+    y = bsc.send(key, xw, 0.05)
+    llr = bsc.llr(y, 0.05)
+
+    pal = BPDecoder(mar.graph, "SPA", max_iter=4, perm="pallas",
+                    msg_dtype=jnp.float32, inf_policy=policy)
+    assert pal._pallas_fac
+    xp, ip = pal.decode(llr)
+    ref = BPDecoder(mar.graph, "SPA", max_iter=4, inf_policy=policy)
+    xr, ir = ref.decode(llr)
+    mism = (np.asarray(xp) != np.asarray(xr)).any(axis=1).sum()
+    assert mism == 0, f"{mism} words differ"
+    np.testing.assert_array_equal(np.asarray(ip), np.asarray(ir))
+
+
+def test_pallas_bp_factored_multi_cap_matches_per_cap():
+    """Factored multi-cap snapshots == separate factored decodes."""
+    from ldpc_decoders_tpu.channels import bsc
+
+    mar = get_code("margulis")
+    caps = [1, 2, 4]
+    key = jax.random.PRNGKey(31)
+    xw = jnp.ones((4, mar.get_n()), jnp.int32)
+    llr = bsc.llr(bsc.send(key, xw, 0.06), 0.06)
+    dec = BPDecoder(mar.graph, "MSA", max_iter=caps[-1], perm="pallas",
+                    msg_dtype=jnp.float32)
+    xs, its = dec.decode_multi_cap(llr, caps)
+    for k, cap in enumerate(caps):
+        d1 = BPDecoder(mar.graph, "MSA", max_iter=cap, perm="pallas",
+                       msg_dtype=jnp.float32)
+        xr, ir = d1.decode(llr)
+        np.testing.assert_array_equal(np.asarray(xs[k]), np.asarray(xr))
+        np.testing.assert_array_equal(np.asarray(its[k]), np.asarray(ir))
