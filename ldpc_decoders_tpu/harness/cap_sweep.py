@@ -135,9 +135,12 @@ class CapSweepRunner:
                 factored_tables_fit_vmem,
                 tables_fit_vmem,
             )
-            if not (tables_fit_vmem(self.code.graph)
-                    or factored_tables_fit_vmem(self.code.graph)):
-                return
+            if not tables_fit_vmem(self.code.graph):
+                # see MonteCarloRunner: factored fallback is a win for
+                # bec only among the cap-sweep (BP) workloads.
+                if not (cfg.channel == "bec"
+                        and factored_tables_fit_vmem(self.code.graph)):
+                    return
         kw = dict(max_iter=self.caps[-1], iter_cap=cfg.iter_cap,
                   msg_dtype=jnp.dtype(cfg.msg_dtype),
                   inf_policy=cfg.inf_policy, perm="pallas")

@@ -308,9 +308,15 @@ class MonteCarloRunner:
                 factored_tables_fit_vmem,
                 tables_fit_vmem,
             )
-            if not (tables_fit_vmem(self.code.graph)
-                    or factored_tables_fit_vmem(self.code.graph)):
-                return  # beyond even the digit-factorized tables
+            if not tables_fit_vmem(self.code.graph):
+                # Digit-factorized fallback: a chip-measured WIN for
+                # ADMM (2-9x the gather route) and the ternary BEC SPA
+                # (1.2x, integer-exact); for margulis MSA/SPA it is a
+                # throughput wash vs the XLA routes (25k vs 22k cw/s)
+                # with cross-route sum-order jitter, so BP stays on XLA.
+                if not ((cfg.decoder == "ADMM" or cfg.channel == "bec")
+                        and factored_tables_fit_vmem(self.code.graph)):
+                    return
         kw = cfg.decoder_kwargs()
         kw["perm"] = "pallas"
         if cfg.decoder in ("SPA", "MSA") and cfg.channel != "bec":

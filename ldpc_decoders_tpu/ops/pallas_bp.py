@@ -180,7 +180,7 @@ def _onehot_dot(val, a, *, transposed, exact):
     return (one(s1) + one(s2)) + one(s3)
 
 
-def _bp_table_ops(t1_ref, t2_ref, *, Dc, exact_f32, fac):
+def _bp_table_ops(t1_ref, t2_ref, *, Dc, exact_f32, fac, gacc=None):
     """(hop, scatter01, syndrome_ok) over either table format.
 
     Dense (``fac=False``): t1 = A [Dc, C, V] one-hots, t2 = H [V, C].
@@ -200,6 +200,15 @@ def _bp_table_ops(t1_ref, t2_ref, *, Dc, exact_f32, fac):
             return _onehot_dot(val, t1_ref[d], transposed=transposed,
                                exact=exact_f32)
 
+        def scatter_sum(val_of, exact=None):
+            acc = None
+            for d in range(Dc):
+                r = _onehot_dot(val_of(d), t1_ref[d], transposed=False,
+                                exact=exact_f32 if exact is None
+                                else exact)
+                acc = r if acc is None else acc + r
+            return acc
+
         def scatter01(ind, d):
             return jnp.dot(ind.astype(jnp.bfloat16), t1_ref[d],
                            preferred_element_type=f32)
@@ -214,7 +223,7 @@ def _bp_table_ops(t1_ref, t2_ref, *, Dc, exact_f32, fac):
             bad = (s.astype(jnp.int32) % 2).sum(axis=-1, keepdims=True)
             return (bad == 0).astype(f32)
 
-        return hop, scatter01, syndrome_ok
+        return hop, scatter_sum, scatter01, syndrome_ok
 
     n_grp = t2_ref.shape[1]
     lane = t1_ref.shape[2]
@@ -224,12 +233,23 @@ def _bp_table_ops(t1_ref, t2_ref, *, Dc, exact_f32, fac):
                            exact=exact)
 
     def gather(val, d, exact):
-        acc = None
+        if gacc is None:          # interpreter / small-graph path
+            acc = None
+            for h in range(n_grp):
+                g = one(val[:, h * lane:(h + 1) * lane], d, True, exact) \
+                    * t2_ref[d, h]
+                acc = g if acc is None else acc + g
+            return acc
+        # Accumulate through a scratch slot: the SSA accumulation chain
+        # leaves all n_grp group products live on the Mosaic stack at
+        # once (chip-measured: the gather families alone put the MSA
+        # kernel 5 MB over scoped vmem at margulis scale); a real VMEM
+        # store per group forces one-group liveness.
         for h in range(n_grp):
             g = one(val[:, h * lane:(h + 1) * lane], d, True, exact) \
                 * t2_ref[d, h]
-            acc = g if acc is None else acc + g
-        return acc
+            gacc[:] = g if h == 0 else gacc[:] + g
+        return gacc[:]
 
     def hop(val, d, transposed):
         if transposed:
@@ -237,6 +257,25 @@ def _bp_table_ops(t1_ref, t2_ref, *, Dc, exact_f32, fac):
         return jnp.concatenate(
             [one(val * t2_ref[d, h], d, False, exact_f32)
              for h in range(n_grp)], axis=-1)
+
+    def scatter_sum(val_of, exact=None):
+        """sum_d scatter_d(val_of(d)), computed GROUP-MAJOR: each
+        128-lane output group accumulates across all Dc slots before
+        the next group starts. Element-wise this is the same terms in
+        the same d order as sum-of-full-scatters, but only [bs, lane]
+        temporaries are ever live — summing Dc full concat-scatters
+        keeps Dc * n_grp group products on the Mosaic stack at once
+        and blows scoped vmem at margulis scale (chip-measured 21 MB
+        at block 32)."""
+        ex = exact_f32 if exact is None else exact
+        outs = []
+        for h in range(n_grp):
+            acc = None
+            for d in range(Dc):
+                g = one(val_of(d) * t2_ref[d, h], d, False, ex)
+                acc = g if acc is None else acc + g
+            outs.append(acc)
+        return jnp.concatenate(outs, axis=-1)
 
     def scatter01(ind, d):
         return jnp.concatenate(
@@ -251,7 +290,7 @@ def _bp_table_ops(t1_ref, t2_ref, *, Dc, exact_f32, fac):
         bad = (s.astype(jnp.int32) % 2).sum(axis=-1, keepdims=True)
         return (bad == 0).astype(f32)
 
-    return hop, scatter01, syndrome_ok
+    return hop, scatter_sum, scatter01, syndrome_ok
 
 
 def _snap_write(x_out, caps, it, x_hat):
@@ -279,14 +318,15 @@ def _snap_fill(x_out, caps, t, x_hat):
             x_out[k] = xi
 
 
-def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-            max_iter, check_init, exact_f32=False, caps=None, fac=False):
+def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, c2v_sc, gacc, *,
+            Dc, C, V, max_iter, check_init, exact_f32=False, caps=None,
+            fac=False):
     f32 = jnp.float32
     llr = llr_ref[:].astype(f32)                     # [bs, V]
     bs = llr.shape[0]
     msg_dt = f32 if exact_f32 else jnp.bfloat16
-    hop, _, syndrome_ok = _bp_table_ops(a_ref, h_ref, Dc=Dc,
-                                        exact_f32=exact_f32, fac=fac)
+    hop, scatter_sum, _, syndrome_ok = _bp_table_ops(
+        a_ref, h_ref, Dc=Dc, exact_f32=exact_f32, fac=fac, gacc=gacc)
 
     x0 = (llr < 0).astype(f32)
 
@@ -311,38 +351,39 @@ def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
 
     def body(it, carry):
         x_hat, done_v, done_c, iters_c = carry
-        planes = [v2c[d][:].astype(f32) for d in range(Dc)]
 
         # -- check node: leave-one-out two-min + sign parity (unrolled).
+        # v2c planes are read on demand and c2v stages through scratch:
+        # Dc-long SSA plane lists blow the scoped-vmem budget at
+        # margulis scale (chip-bisected; see _admm_core for the same
+        # lesson on the ADMM kernel). Values are identical — only the
+        # storage changed.
         big = jnp.asarray(MSA_DEG1_GUARD, f32)
         m1 = jnp.full((bs, C), big, f32)
         m2 = jnp.full((bs, C), big, f32)
         am = jnp.zeros((bs, C), jnp.int32)
         nneg = jnp.zeros((bs, C), jnp.int32)
         for d in range(Dc):
-            mag = jnp.abs(planes[d])
+            p = v2c[d][:].astype(f32)
+            mag = jnp.abs(p)
             lt = mag < m1
             m2 = jnp.where(lt, m1, jnp.minimum(m2, mag))
             m1 = jnp.where(lt, mag, m1)
             am = jnp.where(lt, d, am)
-            nneg = nneg + (planes[d] < 0).astype(jnp.int32)
+            nneg = nneg + (p < 0).astype(jnp.int32)
 
         # -- variable node: marginal via Dc one-hot dots. Sum the edge
         # contributions FIRST and add the prior last — the same
         # association as the XLA incidence route's llr + (flat @ a_sum)
         # (only the within-sum order differs: slot-major here vs
         # check-major in the single dot).
-        msum = None
-        c2v = []
         for d in range(Dc):
-            excl = nneg - (planes[d] < 0).astype(jnp.int32)
+            p = v2c[d][:].astype(f32)
+            excl = nneg - (p < 0).astype(jnp.int32)
             sgn = (1 - 2 * (excl % 2)).astype(f32)
             ext = jnp.where(am == d, m2, m1)
-            cd = jnp.minimum(ext, big) * sgn
-            c2v.append(cd)
-            hd = hop(cd, d, transposed=False)
-            msum = hd if msum is None else msum + hd
-        marg = llr + msum
+            c2v_sc[d] = jnp.minimum(ext, big) * sgn
+        marg = llr + scatter_sum(lambda d: c2v_sc[d][:])
 
         x_new = (marg < 0).astype(f32)
         active_v = done_v == 0.0                     # [bs, V]
@@ -350,7 +391,7 @@ def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         x_hat = jnp.where(active_v, x_new, x_hat)
         for d in range(Dc):
             ed = hop(marg, d, transposed=True)       # [bs, C]
-            nv = (ed - c2v[d]).astype(msg_dt)
+            nv = (ed - c2v_sc[d][:]).astype(msg_dt)
             v2c[d] = jnp.where(active_c, nv, v2c[d][:])
         iters_c = iters_c + active_c.astype(f32)
         ok = syndrome_ok(x_hat)                      # [bs, 1]
@@ -382,7 +423,7 @@ def _bp_pad_v(vals, fac, t1, t2, fill):
     return vals, v_pad
 
 
-def _launch_bp(kern, batched, t1, t2, *, block, scratch_dt,
+def _launch_bp(kern, batched, t1, t2, *, block, scratches,
                interpret, caps=None):
     """Shared pallas_call plumbing for the four BP kernels: pad the batch
     to a block multiple, wire the (llr/y, tables) input specs, and shape
@@ -427,9 +468,7 @@ def _launch_bp(kern, batched, t1, t2, *, block, scratch_dt,
             x_shape,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((Dc, block, C), scratch_dt),
-        ],
+        scratch_shapes=list(scratches),
         interpret=interpret,
     )(batched, t1, t2)
     if caps is None:
@@ -477,15 +516,18 @@ def msa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
                              V=llr.shape[1], max_iter=int(max_iter),
                              check_init=bool(check_init),
                              exact_f32=bool(exact_f32), caps=caps, fac=fac)
+    Dc_, C_ = a_tab.shape[0], a_tab.shape[1]
+    scr = [pltpu.VMEM((Dc_, block, C_),
+                      jnp.float32 if exact_f32 else jnp.bfloat16),
+           pltpu.VMEM((Dc_, block, C_), jnp.float32),   # staged c2v
+           pltpu.VMEM((block, C_), jnp.float32)]        # gather acc
     x, iters = _launch_bp(kern, llr, a_tab, h_tab, block=block,
-                          scratch_dt=(jnp.float32 if exact_f32
-                                      else jnp.bfloat16),
-                          interpret=interpret, caps=caps)
+                          scratches=scr, interpret=interpret, caps=caps)
     return x[..., :V0], iters
 
 
-def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-                max_iter, caps=None, fac=False):
+def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, c2v_sc, gacc, *,
+                Dc, C, V, max_iter, caps=None, fac=False):
     """Ternary erasure SPA, whole loop VMEM-resident (reference
     src/bec.py:70-122 semantics: echo / single-unknown parity resolve /
     stopping-set exit). All values are small integers, so every dot
@@ -495,8 +537,9 @@ def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
     y = y_ref[:].astype(f32)                         # [bs, V] in {0,1,2}
     # All values are small integers: every hop is exact in single-pass
     # bf16 (exact_f32 never needed).
-    hop, _, _ = _bp_table_ops(a_ref, h_ref, Dc=Dc, exact_f32=False,
-                              fac=fac)
+    hop, scatter_sum, _, _ = _bp_table_ops(a_ref, h_ref, Dc=Dc,
+                                           exact_f32=False, fac=fac,
+                                           gacc=gacc)
     # symbol -> message {-1,+1,0}; keep x_hat as the marginal SIGN.
     priors = jnp.where(y == 2.0, 0.0, 2.0 * y - 1.0)
     x0 = priors
@@ -521,24 +564,27 @@ def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
 
     def body(it, carry):
         x_hat, done_v, done_c, iters_c = carry
-        planes = [v2c[d][:].astype(f32) for d in range(Dc)]
 
+        # v2c planes read on demand, c2v staged through scratch (see the
+        # MSA kernel's live-range note).
         unknowns = zero_c
         ones = zero_c
         for d in range(Dc):
-            unknowns = unknowns + (planes[d] == 0.0).astype(f32)
-            ones = ones + (planes[d] > 0.0).astype(f32)
+            p = v2c[d][:].astype(f32)
+            unknowns = unknowns + (p == 0.0).astype(f32)
+            ones = ones + (p > 0.0).astype(f32)
         parity = 2.0 * (ones.astype(jnp.int32) % 2).astype(f32) - 1.0
 
-        marg = priors
-        c2v = []
         for d in range(Dc):
-            known = jnp.abs(planes[d])
-            cd = jnp.where(unknowns == 0.0, planes[d],
+            p = v2c[d][:].astype(f32)
+            known = jnp.abs(p)
+            cd = jnp.where(unknowns == 0.0, p,
                            jnp.where(unknowns == 1.0,
                                      (1.0 - known) * parity, 0.0))
-            c2v.append(cd)
-            marg = marg + hop(cd, d, transposed=False)
+            c2v_sc[d] = cd.astype(jnp.bfloat16)     # {-1,0,+1}: exact
+        # small-int arithmetic: the group-major sum is exact regardless
+        # of association.
+        marg = priors + scatter_sum(lambda d: c2v_sc[d][:].astype(f32))
 
         x_new = jnp.sign(marg)
         active_v = done_v == 0.0
@@ -549,7 +595,8 @@ def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         x_hat = jnp.where(active_v, x_new, x_hat)
         for d in range(Dc):
             ed = hop(marg, d, transposed=True)       # [bs, C]
-            nv = jnp.sign(ed - c2v[d]).astype(jnp.bfloat16)
+            nv = jnp.sign(ed - c2v_sc[d][:].astype(f32)).astype(
+                jnp.bfloat16)
             v2c[d] = jnp.where(active_c, nv, v2c[d][:])
         iters_c = iters_c + active_c
         fin = jnp.maximum((n_erased(x_hat) == 0.0).astype(f32), same)
@@ -583,8 +630,12 @@ def bec_spa_decode_pallas(a_tab, h_tab, y, *, max_iter: int,
     kern = functools.partial(_bec_kernel, Dc=a_tab.shape[0],
                              C=a_tab.shape[1], V=y.shape[1],
                              max_iter=int(max_iter), caps=caps, fac=fac)
+    Dc_, C_ = a_tab.shape[0], a_tab.shape[1]
+    scr = [pltpu.VMEM((Dc_, block, C_), jnp.bfloat16),
+           pltpu.VMEM((Dc_, block, C_), jnp.bfloat16),  # staged c2v
+           pltpu.VMEM((block, C_), jnp.float32)]        # gather acc
     x, iters = _launch_bp(kern, y, a_tab, h_tab,
-                          block=block, scratch_dt=jnp.bfloat16,
+                          block=block, scratches=scr,
                           interpret=interpret, caps=caps)
     return x[..., :V0], iters
 
@@ -604,9 +655,9 @@ def _phi(x):
     return jnp.where(small, ser, big)
 
 
-def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-                max_iter, check_init, exact_f32=False, caps=None,
-                fac=False):
+def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage, gacc,
+                *, Dc, C, V, max_iter, check_init, exact_f32=False,
+                caps=None, fac=False):
     """SPA (inf_policy='saturate'), whole loop VMEM-resident. Same
     structure as the MSA kernel; the check node is the phi-domain
     leave-one-out computed with the same prefix/suffix fold ordering as
@@ -616,8 +667,8 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
     llr = llr_ref[:].astype(f32)
     bs = llr.shape[0]
     msg_dt = f32 if exact_f32 else jnp.bfloat16
-    hop, _, syndrome_ok = _bp_table_ops(a_ref, h_ref, Dc=Dc,
-                                        exact_f32=exact_f32, fac=fac)
+    hop, scatter_sum, _, syndrome_ok = _bp_table_ops(
+        a_ref, h_ref, Dc=Dc, exact_f32=exact_f32, fac=fac, gacc=gacc)
 
     x0 = (llr < 0).astype(f32)
     zero_c = None
@@ -637,34 +688,42 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
 
     def body(it, carry):
         x_hat, done_v, done_c, iters_c = carry
-        planes = [v2c[d][:].astype(f32) for d in range(Dc)]
 
-        ph = [_phi(jnp.clip(jnp.abs(p), _PHI_EPS, _LLR_CLIP))
-              for p in planes]
-        neg = [(p < 0).astype(jnp.int32) for p in planes]
-        # leave-one-out via prefix/suffix folds (exclusive_sum ordering).
-        pre_ph, pre_ng = [zero_c], [jnp.zeros_like(neg[0])]
-        for d in range(Dc - 1):
-            pre_ph.append(pre_ph[-1] + ph[d])
-            pre_ng.append(pre_ng[-1] + neg[d])
-        suf_ph, suf_ng = [zero_c], [jnp.zeros_like(neg[0])]
-        for d in range(Dc - 1, 0, -1):
-            suf_ph.insert(0, suf_ph[0] + ph[d])
-            suf_ng.insert(0, suf_ng[0] + neg[d])
+        # leave-one-out via prefix/suffix folds (exclusive_sum ordering),
+        # with Dc-long plane lists staged through scratch instead of SSA
+        # (see the MSA kernel's live-range note): pass 1 stages the
+        # prefix sums ascending, pass 2 walks DESCENDING with the suffix
+        # accumulating live (identical association: S_d = S_{d+1} +
+        # ph[d]) and stages c2v, pass 3 runs the marginal hops in the
+        # ORIGINAL ascending order. Same values, same sum orders.
+        def ph_neg(d):
+            p = v2c[d][:].astype(f32)
+            return (_phi(jnp.clip(jnp.abs(p), _PHI_EPS, _LLR_CLIP)),
+                    (p < 0).astype(f32))
 
-        # Edge contributions first, prior last (XLA route association).
-        msum = None
-        c2v = []
+        pre_ph = zero_c
+        pre_ng = zero_c
         for d in range(Dc):
-            excl_ph = pre_ph[d] + suf_ph[d]
-            excl_ng = pre_ng[d] + suf_ng[d]
+            stage[0, d] = pre_ph
+            stage[1, d] = pre_ng
+            phd, ngd = ph_neg(d)
+            pre_ph = pre_ph + phd
+            pre_ng = pre_ng + ngd
+
+        suf_ph = zero_c
+        suf_ng = zero_c
+        for d in range(Dc - 1, -1, -1):
+            excl_ph = stage[0, d][:] + suf_ph
+            excl_ng = (stage[1, d][:] + suf_ng).astype(jnp.int32)
             ext = _phi(jnp.maximum(excl_ph, _PHI_EPS))
             sgn = (1 - 2 * (excl_ng % 2)).astype(f32)
-            cd = ext * sgn
-            c2v.append(cd)
-            hd = hop(cd, d, transposed=False)
-            msum = hd if msum is None else msum + hd
-        marg = llr + msum
+            stage[2, d] = ext * sgn
+            phd, ngd = ph_neg(d)
+            suf_ph = suf_ph + phd
+            suf_ng = suf_ng + ngd
+
+        # Edge contributions first, prior last (XLA route association).
+        marg = llr + scatter_sum(lambda d: stage[2, d][:])
 
         x_new = (marg < 0).astype(f32)
         active_v = done_v == 0.0
@@ -672,7 +731,7 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         x_hat = jnp.where(active_v, x_new, x_hat)
         for d in range(Dc):
             ed = hop(marg, d, transposed=True)
-            nv = (ed - c2v[d]).astype(msg_dt)
+            nv = (ed - stage[2, d][:]).astype(msg_dt)
             v2c[d] = jnp.where(active_c, nv, v2c[d][:])
         iters_c = iters_c + active_c.astype(f32)
         ok = syndrome_ok(x_hat)
@@ -711,10 +770,14 @@ def spa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
                              max_iter=int(max_iter),
                              check_init=bool(check_init),
                              exact_f32=bool(exact_f32), caps=caps, fac=fac)
+    Dc_, C_ = a_tab.shape[0], a_tab.shape[1]
+    scr = [pltpu.VMEM((Dc_, block, C_),
+                      jnp.float32 if exact_f32 else jnp.bfloat16),
+           # staged pre_ph / pre_ng / c2v (see _spa_kernel)
+           pltpu.VMEM((3, Dc_, block, C_), jnp.float32),
+           pltpu.VMEM((block, C_), jnp.float32)]        # gather acc
     x, iters = _launch_bp(kern, llr, a_tab, h_tab, block=block,
-                          scratch_dt=(jnp.float32 if exact_f32
-                                      else jnp.bfloat16),
-                          interpret=interpret, caps=caps)
+                          scratches=scr, interpret=interpret, caps=caps)
     return x[..., :V0], iters
 
 
@@ -725,9 +788,9 @@ _INF_MIN = 5e8
 _NAN_MIN = 1.5e9
 
 
-def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
-                    max_iter, check_init, exact_f32=False, caps=None,
-                    fac=False):
+def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage,
+                    gacc, *, Dc, C, V, max_iter, check_init,
+                    exact_f32=False, caps=None, fac=False):
     """SPA with the reference's float64 inf/NaN cascade (inf_policy=
     'reference'), sentinel-encoded, whole loop VMEM-resident. Plane
     translation of decoders/bp.spa_check_rows_ref + _spa_ref_step for
@@ -742,8 +805,8 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
     llr = llr_ref[:].astype(f32)
     bs = llr.shape[0]
     msg_dt = f32 if exact_f32 else jnp.bfloat16
-    hop, scatter01, syndrome_ok = _bp_table_ops(
-        a_ref, h_ref, Dc=Dc, exact_f32=exact_f32, fac=fac)
+    hop, scatter_sum, scatter01, syndrome_ok = _bp_table_ops(
+        a_ref, h_ref, Dc=Dc, exact_f32=exact_f32, fac=fac, gacc=gacc)
 
     x0 = (llr < 0).astype(f32)
     zero_c = None
@@ -763,63 +826,77 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
 
     def body(it, carry):
         x_hat, done_v, done_c, iters_c = carry
-        m = [v2c[d][:].astype(f32) for d in range(Dc)]
 
         # -- check node (spa_check_rows_ref, regular: every slot real).
-        nan_i = [p > _NAN_MIN for p in m]
-        pinf_i = [(p > _INF_MIN) & ~n for p, n in zip(m, nan_i)]
-        ninf_i = [p < -_INF_MIN for p in m]
-        fin_i = [~(a | b | c) for a, b, c in zip(nan_i, pinf_i, ninf_i)]
-        mag = [jnp.abs(p) for p in m]
-        sat = [(a | b | (f & (g >= _LLR_CLIP))).astype(jnp.int32)
-               for a, b, f, g in zip(pinf_i, ninf_i, fin_i, mag)]
-        live = [f & (g < _LLR_CLIP) for f, g in zip(fin_i, mag)]
-        ph = [jnp.where(l, _phi(jnp.clip(g, _PHI_EPS, _LLR_CLIP)), 0.0)
-              for l, g in zip(live, mag)]
-        neg = [((f & (p < 0)) | n).astype(jnp.int32)
-               for f, p, n in zip(fin_i, m, ninf_i)]
-        nan_row = nan_i[0]
-        for d in range(1, Dc):
-            nan_row = nan_row | nan_i[d]
+        # All per-slot quantities recompute from on-demand v2c reads and
+        # the prefix trios + c2v stage through scratch (see the MSA
+        # kernel's live-range note); the suffix trio accumulates live in
+        # a DESCENDING pass with the original association (S_d = S_{d+1}
+        # + x[d]). Counts ride f32 (<= Dc: exact). Same values, same sum
+        # orders as the SSA-list form.
+        def row_stats(d):
+            p = v2c[d][:].astype(f32)
+            nan_i = p > _NAN_MIN
+            pinf_i = (p > _INF_MIN) & ~nan_i
+            ninf_i = p < -_INF_MIN
+            fin_i = ~(nan_i | pinf_i | ninf_i)
+            mag = jnp.abs(p)
+            sat = (pinf_i | ninf_i
+                   | (fin_i & (mag >= _LLR_CLIP))).astype(f32)
+            live = fin_i & (mag < _LLR_CLIP)
+            ph = jnp.where(live, _phi(jnp.clip(mag, _PHI_EPS, _LLR_CLIP)),
+                           0.0)
+            neg = ((fin_i & (p < 0)) | ninf_i).astype(f32)
+            return ph, sat, neg, nan_i
 
-        pre_ph, pre_sat, pre_ng = [zero_c], [sat[0] * 0], [neg[0] * 0]
-        for d in range(Dc - 1):
-            pre_ph.append(pre_ph[-1] + ph[d])
-            pre_sat.append(pre_sat[-1] + sat[d])
-            pre_ng.append(pre_ng[-1] + neg[d])
-        suf_ph, suf_sat, suf_ng = [zero_c], [sat[0] * 0], [neg[0] * 0]
-        for d in range(Dc - 1, 0, -1):
-            suf_ph.insert(0, suf_ph[0] + ph[d])
-            suf_sat.insert(0, suf_sat[0] + sat[d])
-            suf_ng.insert(0, suf_ng[0] + neg[d])
-
-        c2v = []
+        pre_ph = zero_c
+        pre_sat = zero_c
+        pre_ng = zero_c
+        nan_row = None
         for d in range(Dc):
-            excl_ph = pre_ph[d] + suf_ph[d]
-            n_sat = pre_sat[d] + suf_sat[d]
-            excl_ng = pre_ng[d] + suf_ng[d]
+            stage[0, d] = pre_ph
+            stage[1, d] = pre_sat
+            stage[2, d] = pre_ng
+            ph, sat, neg, nan_i = row_stats(d)
+            pre_ph = pre_ph + ph
+            pre_sat = pre_sat + sat
+            pre_ng = pre_ng + neg
+            nan_row = nan_i if nan_row is None else (nan_row | nan_i)
+
+        suf_ph = zero_c
+        suf_sat = zero_c
+        suf_ng = zero_c
+        for d in range(Dc - 1, -1, -1):
+            excl_ph = stage[0, d][:] + suf_ph
+            n_sat = stage[1, d][:] + suf_sat
+            excl_ng = (stage[2, d][:] + suf_ng).astype(jnp.int32)
             sgn = (1 - 2 * (excl_ng % 2)).astype(f32)
             val = _phi(jnp.maximum(excl_ph, _PHI_EPS)) * sgn
             out = jnp.where(n_sat == Dc - 1, sgn * _INF_S, val)
-            c2v.append(jnp.where(nan_row, _NAN_S, out))
+            stage[3, d] = jnp.where(nan_row, _NAN_S, out)
+            ph, sat, neg, _ = row_stats(d)
+            suf_ph = suf_ph + ph
+            suf_sat = suf_sat + sat
+            suf_ng = suf_ng + neg
 
-        # -- variable node (_spa_ref_step): class-aware sums.
-        cn = [p > _NAN_MIN for p in c2v]
-        cp = [(p > _INF_MIN) & ~n for p, n in zip(c2v, cn)]
-        cm = [p < -_INF_MIN for p in c2v]
-        finv = [jnp.where(a | b | c, 0.0, p)
-                for a, b, c, p in zip(cn, cp, cm, c2v)]
+        # -- variable node (_spa_ref_step): class-aware sums; classes
+        # recompute from the staged c2v (band compares are cheap).
+        def c2v_classes(d):
+            cv = stage[3, d][:]
+            cn = cv > _NAN_MIN
+            cp = (cv > _INF_MIN) & ~cn
+            cm = cv < -_INF_MIN
+            return cn, cp, cm, jnp.where(cn | cp | cm, 0.0, cv)
+
         # Edge contributions first, prior last — the XLA refmode route's
         # association (marg_fin = llr + fin_sum, bp.py _spa_ref_step).
-        fsum = None
-        n_p = zero_v
-        n_n = zero_v
-        for d in range(Dc):
-            fd = hop(finv[d], d, transposed=False)
-            fsum = fd if fsum is None else fsum + fd
-            n_p = n_p + scatter01((cp[d] | cn[d]).astype(f32), d)
-            n_n = n_n + scatter01((cm[d] | cn[d]).astype(f32), d)
-        fin_sum = llr + fsum
+        fin_sum = llr + scatter_sum(lambda d: c2v_classes(d)[3])
+        n_p = scatter_sum(lambda d: ((c2v_classes(d)[1]
+                                      | c2v_classes(d)[0])).astype(f32),
+                          exact=False)
+        n_n = scatter_sum(lambda d: ((c2v_classes(d)[2]
+                                      | c2v_classes(d)[0])).astype(f32),
+                          exact=False)
 
         is_nan = (n_p > 0.5) & (n_n > 0.5)
         is_p = ~is_nan & (n_p > 0.5)
@@ -835,13 +912,14 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, *, Dc, C, V,
         active_c = done_c == 0.0
         x_hat = jnp.where(active_v, x_new, x_hat)
         for d in range(Dc):
+            cn, cp, cm, finv = c2v_classes(d)
             ed = hop(marg_enc, d, transposed=True)
             em_nan = ed > _NAN_MIN
             em_p = (ed > _INF_MIN) & ~em_nan
             em_n = ed < -_INF_MIN
-            nv = jnp.where(em_p, jnp.where(cp[d], _NAN_S, _INF_S),
-                           ed - finv[d])
-            nv = jnp.where(em_n, jnp.where(cm[d], _NAN_S, -_INF_S), nv)
+            nv = jnp.where(em_p, jnp.where(cp, _NAN_S, _INF_S),
+                           ed - finv)
+            nv = jnp.where(em_n, jnp.where(cm, _NAN_S, -_INF_S), nv)
             nv = jnp.where(em_nan, _NAN_S, nv)
             v2c[d] = jnp.where(active_c, nv.astype(msg_dt),
                                v2c[d][:])
@@ -887,10 +965,14 @@ def spa_ref_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
                              max_iter=int(max_iter),
                              check_init=bool(check_init),
                              exact_f32=bool(exact_f32), caps=caps, fac=fac)
+    Dc_, C_ = a_tab.shape[0], a_tab.shape[1]
+    scr = [pltpu.VMEM((Dc_, block, C_),
+                      jnp.float32 if exact_f32 else jnp.bfloat16),
+           # staged pre_ph / pre_sat / pre_ng / c2v (see _spa_ref_kernel)
+           pltpu.VMEM((4, Dc_, block, C_), jnp.float32),
+           pltpu.VMEM((block, C_), jnp.float32)]        # gather acc
     x, iters = _launch_bp(kern, llr, a_tab, h_tab, block=block,
-                          scratch_dt=(jnp.float32 if exact_f32
-                                      else jnp.bfloat16),
-                          interpret=interpret, caps=caps)
+                          scratches=scr, interpret=interpret, caps=caps)
     return x[..., :V0], iters
 
 
