@@ -71,7 +71,7 @@ def main() -> None:
     # Fused whole-loop Pallas kernel (ops/pallas_bp.py): the 10-iteration
     # decode stays VMEM-resident per 128-word tile — bit-identical
     # decisions and iteration counts vs the XLA incidence route. Measured
-    # ledger: artifacts/data/bench_all_r*.jsonl (r3: 635k pallas vs 387k
+    # ledger: artifacts/data/bench_all_r*.jsonl (r4: 635k pallas vs 385k
     # incidence at this config).
     route = "pallas"
     dec = BPDecoder(code.graph, "MSA", max_iter=10,

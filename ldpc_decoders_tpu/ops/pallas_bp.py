@@ -565,8 +565,24 @@ def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, c2v_sc, gacc, *,
     def body(it, carry):
         x_hat, done_v, done_c, iters_c = carry
 
-        # v2c planes read on demand, c2v staged through scratch (see the
-        # MSA kernel's live-range note).
+        # v2c planes read on demand; c2v stages through scratch on the
+        # factored route (margulis live-range budget — see the MSA
+        # kernel) and stays an SSA list on the dense one (faster, fits).
+        if fac:
+            def put_c2v(d, v):
+                c2v_sc[d] = v.astype(jnp.bfloat16)  # {-1,0,+1}: exact
+
+            def get_c2v(d):
+                return c2v_sc[d][:].astype(f32)
+        else:
+            c2v_buf = [None] * Dc
+
+            def put_c2v(d, v):
+                c2v_buf[d] = v
+
+            def get_c2v(d):
+                return c2v_buf[d]
+
         unknowns = zero_c
         ones = zero_c
         for d in range(Dc):
@@ -578,13 +594,12 @@ def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, c2v_sc, gacc, *,
         for d in range(Dc):
             p = v2c[d][:].astype(f32)
             known = jnp.abs(p)
-            cd = jnp.where(unknowns == 0.0, p,
-                           jnp.where(unknowns == 1.0,
-                                     (1.0 - known) * parity, 0.0))
-            c2v_sc[d] = cd.astype(jnp.bfloat16)     # {-1,0,+1}: exact
+            put_c2v(d, jnp.where(unknowns == 0.0, p,
+                                 jnp.where(unknowns == 1.0,
+                                           (1.0 - known) * parity, 0.0)))
         # small-int arithmetic: the group-major sum is exact regardless
         # of association.
-        marg = priors + scatter_sum(lambda d: c2v_sc[d][:].astype(f32))
+        marg = priors + scatter_sum(get_c2v)
 
         x_new = jnp.sign(marg)
         active_v = done_v == 0.0
@@ -595,8 +610,7 @@ def _bec_kernel(y_ref, a_ref, h_ref, x_out, it_out, v2c, c2v_sc, gacc, *,
         x_hat = jnp.where(active_v, x_new, x_hat)
         for d in range(Dc):
             ed = hop(marg, d, transposed=True)       # [bs, C]
-            nv = jnp.sign(ed - c2v_sc[d][:].astype(f32)).astype(
-                jnp.bfloat16)
+            nv = jnp.sign(ed - get_c2v(d)).astype(jnp.bfloat16)
             v2c[d] = jnp.where(active_c, nv, v2c[d][:])
         iters_c = iters_c + active_c
         fin = jnp.maximum((n_erased(x_hat) == 0.0).astype(f32), same)
@@ -632,7 +646,9 @@ def bec_spa_decode_pallas(a_tab, h_tab, y, *, max_iter: int,
                              max_iter=int(max_iter), caps=caps, fac=fac)
     Dc_, C_ = a_tab.shape[0], a_tab.shape[1]
     scr = [pltpu.VMEM((Dc_, block, C_), jnp.bfloat16),
-           pltpu.VMEM((Dc_, block, C_), jnp.bfloat16),  # staged c2v
+           # staged c2v (factored route only; dense keeps SSA lists)
+           pltpu.VMEM((Dc_, block, C_) if fac else (1, 1, 1),
+                      jnp.bfloat16),
            pltpu.VMEM((block, C_), jnp.float32)]        # gather acc
     x, iters = _launch_bp(kern, y, a_tab, h_tab,
                           block=block, scratches=scr,
@@ -669,6 +685,7 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage, gacc,
     msg_dt = f32 if exact_f32 else jnp.bfloat16
     hop, scatter_sum, _, syndrome_ok = _bp_table_ops(
         a_ref, h_ref, Dc=Dc, exact_f32=exact_f32, fac=fac, gacc=gacc)
+    del stage  # SSA lists fit the dense flagship; staging unused here
 
     x0 = (llr < 0).astype(f32)
     zero_c = None
@@ -688,42 +705,34 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage, gacc,
 
     def body(it, carry):
         x_hat, done_v, done_c, iters_c = carry
+        planes = [v2c[d][:].astype(f32) for d in range(Dc)]
 
-        # leave-one-out via prefix/suffix folds (exclusive_sum ordering),
-        # with Dc-long plane lists staged through scratch instead of SSA
-        # (see the MSA kernel's live-range note): pass 1 stages the
-        # prefix sums ascending, pass 2 walks DESCENDING with the suffix
-        # accumulating live (identical association: S_d = S_{d+1} +
-        # ph[d]) and stages c2v, pass 3 runs the marginal hops in the
-        # ORIGINAL ascending order. Same values, same sum orders.
-        def ph_neg(d):
-            p = v2c[d][:].astype(f32)
-            return (_phi(jnp.clip(jnp.abs(p), _PHI_EPS, _LLR_CLIP)),
-                    (p < 0).astype(f32))
-
-        pre_ph = zero_c
-        pre_ng = zero_c
-        for d in range(Dc):
-            stage[0, d] = pre_ph
-            stage[1, d] = pre_ng
-            phd, ngd = ph_neg(d)
-            pre_ph = pre_ph + phd
-            pre_ng = pre_ng + ngd
-
-        suf_ph = zero_c
-        suf_ng = zero_c
-        for d in range(Dc - 1, -1, -1):
-            excl_ph = stage[0, d][:] + suf_ph
-            excl_ng = (stage[1, d][:] + suf_ng).astype(jnp.int32)
-            ext = _phi(jnp.maximum(excl_ph, _PHI_EPS))
-            sgn = (1 - 2 * (excl_ng % 2)).astype(f32)
-            stage[2, d] = ext * sgn
-            phd, ngd = ph_neg(d)
-            suf_ph = suf_ph + phd
-            suf_ng = suf_ng + ngd
+        ph = [_phi(jnp.clip(jnp.abs(p), _PHI_EPS, _LLR_CLIP))
+              for p in planes]
+        neg = [(p < 0).astype(jnp.int32) for p in planes]
+        # leave-one-out via prefix/suffix folds (exclusive_sum ordering).
+        pre_ph, pre_ng = [zero_c], [jnp.zeros_like(neg[0])]
+        for d in range(Dc - 1):
+            pre_ph.append(pre_ph[-1] + ph[d])
+            pre_ng.append(pre_ng[-1] + neg[d])
+        suf_ph, suf_ng = [zero_c], [jnp.zeros_like(neg[0])]
+        for d in range(Dc - 1, 0, -1):
+            suf_ph.insert(0, suf_ph[0] + ph[d])
+            suf_ng.insert(0, suf_ng[0] + neg[d])
 
         # Edge contributions first, prior last (XLA route association).
-        marg = llr + scatter_sum(lambda d: stage[2, d][:])
+        msum = None
+        c2v = []
+        for d in range(Dc):
+            excl_ph = pre_ph[d] + suf_ph[d]
+            excl_ng = pre_ng[d] + suf_ng[d]
+            ext = _phi(jnp.maximum(excl_ph, _PHI_EPS))
+            sgn = (1 - 2 * (excl_ng % 2)).astype(f32)
+            cd = ext * sgn
+            c2v.append(cd)
+            hd = hop(cd, d, transposed=False)
+            msum = hd if msum is None else msum + hd
+        marg = llr + msum
 
         x_new = (marg < 0).astype(f32)
         active_v = done_v == 0.0
@@ -731,7 +740,7 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage, gacc,
         x_hat = jnp.where(active_v, x_new, x_hat)
         for d in range(Dc):
             ed = hop(marg, d, transposed=True)
-            nv = (ed - stage[2, d][:]).astype(msg_dt)
+            nv = (ed - c2v[d]).astype(msg_dt)
             v2c[d] = jnp.where(active_c, nv, v2c[d][:])
         iters_c = iters_c + active_c.astype(f32)
         ok = syndrome_ok(x_hat)
@@ -773,8 +782,10 @@ def spa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
     Dc_, C_ = a_tab.shape[0], a_tab.shape[1]
     scr = [pltpu.VMEM((Dc_, block, C_),
                       jnp.float32 if exact_f32 else jnp.bfloat16),
-           # staged pre_ph / pre_ng / c2v (see _spa_kernel)
-           pltpu.VMEM((3, Dc_, block, C_), jnp.float32),
+           # unused placeholder (an earlier staged-prefix variant
+           # regressed the dense flagship's VMEM fit; SSA lists are the
+           # chip-proven form for both SPA kernels)
+           pltpu.VMEM((1, 1, 1, 1), jnp.float32),
            pltpu.VMEM((block, C_), jnp.float32)]        # gather acc
     x, iters = _launch_bp(kern, llr, a_tab, h_tab, block=block,
                           scratches=scr, interpret=interpret, caps=caps)
@@ -807,6 +818,7 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage,
     msg_dt = f32 if exact_f32 else jnp.bfloat16
     hop, scatter_sum, scatter01, syndrome_ok = _bp_table_ops(
         a_ref, h_ref, Dc=Dc, exact_f32=exact_f32, fac=fac, gacc=gacc)
+    del stage  # SSA lists fit the dense flagship; staging unused here
 
     x0 = (llr < 0).astype(f32)
     zero_c = None
@@ -826,77 +838,63 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage,
 
     def body(it, carry):
         x_hat, done_v, done_c, iters_c = carry
+        m = [v2c[d][:].astype(f32) for d in range(Dc)]
 
         # -- check node (spa_check_rows_ref, regular: every slot real).
-        # All per-slot quantities recompute from on-demand v2c reads and
-        # the prefix trios + c2v stage through scratch (see the MSA
-        # kernel's live-range note); the suffix trio accumulates live in
-        # a DESCENDING pass with the original association (S_d = S_{d+1}
-        # + x[d]). Counts ride f32 (<= Dc: exact). Same values, same sum
-        # orders as the SSA-list form.
-        def row_stats(d):
-            p = v2c[d][:].astype(f32)
-            nan_i = p > _NAN_MIN
-            pinf_i = (p > _INF_MIN) & ~nan_i
-            ninf_i = p < -_INF_MIN
-            fin_i = ~(nan_i | pinf_i | ninf_i)
-            mag = jnp.abs(p)
-            sat = (pinf_i | ninf_i
-                   | (fin_i & (mag >= _LLR_CLIP))).astype(f32)
-            live = fin_i & (mag < _LLR_CLIP)
-            ph = jnp.where(live, _phi(jnp.clip(mag, _PHI_EPS, _LLR_CLIP)),
-                           0.0)
-            neg = ((fin_i & (p < 0)) | ninf_i).astype(f32)
-            return ph, sat, neg, nan_i
+        nan_i = [p > _NAN_MIN for p in m]
+        pinf_i = [(p > _INF_MIN) & ~n for p, n in zip(m, nan_i)]
+        ninf_i = [p < -_INF_MIN for p in m]
+        fin_i = [~(a | b | c) for a, b, c in zip(nan_i, pinf_i, ninf_i)]
+        mag = [jnp.abs(p) for p in m]
+        sat = [(a | b | (f & (g >= _LLR_CLIP))).astype(jnp.int32)
+               for a, b, f, g in zip(pinf_i, ninf_i, fin_i, mag)]
+        live = [f & (g < _LLR_CLIP) for f, g in zip(fin_i, mag)]
+        ph = [jnp.where(l, _phi(jnp.clip(g, _PHI_EPS, _LLR_CLIP)), 0.0)
+              for l, g in zip(live, mag)]
+        neg = [((f & (p < 0)) | n).astype(jnp.int32)
+               for f, p, n in zip(fin_i, m, ninf_i)]
+        nan_row = nan_i[0]
+        for d in range(1, Dc):
+            nan_row = nan_row | nan_i[d]
 
-        pre_ph = zero_c
-        pre_sat = zero_c
-        pre_ng = zero_c
-        nan_row = None
+        pre_ph, pre_sat, pre_ng = [zero_c], [sat[0] * 0], [neg[0] * 0]
+        for d in range(Dc - 1):
+            pre_ph.append(pre_ph[-1] + ph[d])
+            pre_sat.append(pre_sat[-1] + sat[d])
+            pre_ng.append(pre_ng[-1] + neg[d])
+        suf_ph, suf_sat, suf_ng = [zero_c], [sat[0] * 0], [neg[0] * 0]
+        for d in range(Dc - 1, 0, -1):
+            suf_ph.insert(0, suf_ph[0] + ph[d])
+            suf_sat.insert(0, suf_sat[0] + sat[d])
+            suf_ng.insert(0, suf_ng[0] + neg[d])
+
+        c2v = []
         for d in range(Dc):
-            stage[0, d] = pre_ph
-            stage[1, d] = pre_sat
-            stage[2, d] = pre_ng
-            ph, sat, neg, nan_i = row_stats(d)
-            pre_ph = pre_ph + ph
-            pre_sat = pre_sat + sat
-            pre_ng = pre_ng + neg
-            nan_row = nan_i if nan_row is None else (nan_row | nan_i)
-
-        suf_ph = zero_c
-        suf_sat = zero_c
-        suf_ng = zero_c
-        for d in range(Dc - 1, -1, -1):
-            excl_ph = stage[0, d][:] + suf_ph
-            n_sat = stage[1, d][:] + suf_sat
-            excl_ng = (stage[2, d][:] + suf_ng).astype(jnp.int32)
+            excl_ph = pre_ph[d] + suf_ph[d]
+            n_sat = pre_sat[d] + suf_sat[d]
+            excl_ng = pre_ng[d] + suf_ng[d]
             sgn = (1 - 2 * (excl_ng % 2)).astype(f32)
             val = _phi(jnp.maximum(excl_ph, _PHI_EPS)) * sgn
             out = jnp.where(n_sat == Dc - 1, sgn * _INF_S, val)
-            stage[3, d] = jnp.where(nan_row, _NAN_S, out)
-            ph, sat, neg, _ = row_stats(d)
-            suf_ph = suf_ph + ph
-            suf_sat = suf_sat + sat
-            suf_ng = suf_ng + neg
+            c2v.append(jnp.where(nan_row, _NAN_S, out))
 
-        # -- variable node (_spa_ref_step): class-aware sums; classes
-        # recompute from the staged c2v (band compares are cheap).
-        def c2v_classes(d):
-            cv = stage[3, d][:]
-            cn = cv > _NAN_MIN
-            cp = (cv > _INF_MIN) & ~cn
-            cm = cv < -_INF_MIN
-            return cn, cp, cm, jnp.where(cn | cp | cm, 0.0, cv)
-
+        # -- variable node (_spa_ref_step): class-aware sums.
+        cn = [p > _NAN_MIN for p in c2v]
+        cp = [(p > _INF_MIN) & ~n for p, n in zip(c2v, cn)]
+        cm = [p < -_INF_MIN for p in c2v]
+        finv = [jnp.where(a | b | c, 0.0, p)
+                for a, b, c, p in zip(cn, cp, cm, c2v)]
         # Edge contributions first, prior last — the XLA refmode route's
         # association (marg_fin = llr + fin_sum, bp.py _spa_ref_step).
-        fin_sum = llr + scatter_sum(lambda d: c2v_classes(d)[3])
-        n_p = scatter_sum(lambda d: ((c2v_classes(d)[1]
-                                      | c2v_classes(d)[0])).astype(f32),
-                          exact=False)
-        n_n = scatter_sum(lambda d: ((c2v_classes(d)[2]
-                                      | c2v_classes(d)[0])).astype(f32),
-                          exact=False)
+        fsum = None
+        n_p = zero_v
+        n_n = zero_v
+        for d in range(Dc):
+            fd = hop(finv[d], d, transposed=False)
+            fsum = fd if fsum is None else fsum + fd
+            n_p = n_p + scatter01((cp[d] | cn[d]).astype(f32), d)
+            n_n = n_n + scatter01((cm[d] | cn[d]).astype(f32), d)
+        fin_sum = llr + fsum
 
         is_nan = (n_p > 0.5) & (n_n > 0.5)
         is_p = ~is_nan & (n_p > 0.5)
@@ -912,14 +910,13 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage,
         active_c = done_c == 0.0
         x_hat = jnp.where(active_v, x_new, x_hat)
         for d in range(Dc):
-            cn, cp, cm, finv = c2v_classes(d)
             ed = hop(marg_enc, d, transposed=True)
             em_nan = ed > _NAN_MIN
             em_p = (ed > _INF_MIN) & ~em_nan
             em_n = ed < -_INF_MIN
-            nv = jnp.where(em_p, jnp.where(cp, _NAN_S, _INF_S),
-                           ed - finv)
-            nv = jnp.where(em_n, jnp.where(cm, _NAN_S, -_INF_S), nv)
+            nv = jnp.where(em_p, jnp.where(cp[d], _NAN_S, _INF_S),
+                           ed - finv[d])
+            nv = jnp.where(em_n, jnp.where(cm[d], _NAN_S, -_INF_S), nv)
             nv = jnp.where(em_nan, _NAN_S, nv)
             v2c[d] = jnp.where(active_c, nv.astype(msg_dt),
                                v2c[d][:])
@@ -968,8 +965,8 @@ def spa_ref_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
     Dc_, C_ = a_tab.shape[0], a_tab.shape[1]
     scr = [pltpu.VMEM((Dc_, block, C_),
                       jnp.float32 if exact_f32 else jnp.bfloat16),
-           # staged pre_ph / pre_sat / pre_ng / c2v (see _spa_ref_kernel)
-           pltpu.VMEM((4, Dc_, block, C_), jnp.float32),
+           # unused placeholder (see spa_decode_pallas)
+           pltpu.VMEM((1, 1, 1, 1), jnp.float32),
            pltpu.VMEM((block, C_), jnp.float32)]        # gather acc
     x, iters = _launch_bp(kern, llr, a_tab, h_tab, block=block,
                           scratches=scr, interpret=interpret, caps=caps)
