@@ -52,7 +52,7 @@ def main() -> None:
         ("bsc_spa_ref_f32", dict(channel="bsc", decoder="SPA",
                                  params=[0.06], codeword=0, batch=8192)),
         # ADMM wants the big batch: the fused kernel is iteration-bound
-        # and block-granular (66k cw/s at B=16384 vs 29k at B=2048 —
+        # and block-granular (B=16384 measures ~2x B=2048 —
         # docs/SCALING.md "ADMM throughput: the measured roofline").
         ("admm", dict(channel="biawgn", decoder="ADMM", params=[3.0],
                       codeword=1, batch=16384, max_iter=50)),
