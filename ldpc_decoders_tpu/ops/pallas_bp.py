@@ -17,14 +17,17 @@ side hop is Dc small one-hot matmuls against resident tables:
   edge  = marg @ A[d]^T  per d                (variables -> edges)
   H     [V, C] parity incidence for the syndrome check
 
-Scope: regular graphs with no padded slots (every check degree == Dc,
-e.g. the (1200,3,6) flagship family), MSA variant, bfloat16 messages —
-exactly the headline benchmark configuration. BPDecoder(perm="pallas")
-routes here and refuses anything else. Semantics match
-BPDecoder.decode: syndrome pre-check via ``check_init``, per-word done
-freeze, iteration counts. Decisions agree with the XLA bf16 incidence
-route up to f32 summation order in the marginal (validated
-statistically; see tests/test_pallas_bp.py).
+Scope: fully regular graphs (every check degree == Dc). Five kernel
+families live here — MSA, SPA (saturate and reference inf-policies),
+ternary BEC SPA, and ADMM — each in bf16-message and exact-float32
+variants where applicable, each with a multi-cap snapshot mode
+(``caps=``: one decode, decisions recorded at every iteration cap) and
+a digit-factorized table mode (``fac=``: margulis-scale graphs whose
+dense one-hots exceed VMEM). Semantics match the XLA decoders:
+syndrome pre-check via ``check_init``, per-word done freeze, iteration
+counts; equivalence is pinned per-kernel in tests/test_pallas_bp.py
+(bit-equality where the arithmetic is exact, the cross-route f32
+sum-order jitter bar elsewhere).
 """
 
 from __future__ import annotations
@@ -683,7 +686,7 @@ def _spa_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage, gacc,
     llr = llr_ref[:].astype(f32)
     bs = llr.shape[0]
     msg_dt = f32 if exact_f32 else jnp.bfloat16
-    hop, scatter_sum, _, syndrome_ok = _bp_table_ops(
+    hop, _, _, syndrome_ok = _bp_table_ops(
         a_ref, h_ref, Dc=Dc, exact_f32=exact_f32, fac=fac, gacc=gacc)
     del stage  # SSA lists fit the dense flagship; staging unused here
 
@@ -816,7 +819,7 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage,
     llr = llr_ref[:].astype(f32)
     bs = llr.shape[0]
     msg_dt = f32 if exact_f32 else jnp.bfloat16
-    hop, scatter_sum, scatter01, syndrome_ok = _bp_table_ops(
+    hop, _, scatter01, syndrome_ok = _bp_table_ops(
         a_ref, h_ref, Dc=Dc, exact_f32=exact_f32, fac=fac, gacc=gacc)
     del stage  # SSA lists fit the dense flagship; staging unused here
 
