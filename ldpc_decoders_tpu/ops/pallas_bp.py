@@ -356,11 +356,27 @@ def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, c2v_sc, gacc, *,
         x_hat, done_v, done_c, iters_c = carry
 
         # -- check node: leave-one-out two-min + sign parity (unrolled).
-        # v2c planes are read on demand and c2v stages through scratch:
-        # Dc-long SSA plane lists blow the scoped-vmem budget at
-        # margulis scale (chip-bisected; see _admm_core for the same
-        # lesson on the ADMM kernel). Values are identical — only the
-        # storage changed.
+        # v2c planes read on demand; c2v stages through VMEM scratch on
+        # the factored route (Dc-long SSA plane lists blow the
+        # scoped-vmem budget at margulis scale — chip-bisected, see
+        # _admm_core) and stays an SSA list on the dense one (the
+        # scratch round-trip measurably slows the multi-cap variant).
+        # Values are identical — only the storage changes.
+        if fac:
+            def put_c2v(d, v):
+                c2v_sc[d] = v
+
+            def get_c2v(d):
+                return c2v_sc[d][:]
+        else:
+            c2v_buf = [None] * Dc
+
+            def put_c2v(d, v):
+                c2v_buf[d] = v
+
+            def get_c2v(d):
+                return c2v_buf[d]
+
         big = jnp.asarray(MSA_DEG1_GUARD, f32)
         m1 = jnp.full((bs, C), big, f32)
         m2 = jnp.full((bs, C), big, f32)
@@ -385,8 +401,8 @@ def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, c2v_sc, gacc, *,
             excl = nneg - (p < 0).astype(jnp.int32)
             sgn = (1 - 2 * (excl % 2)).astype(f32)
             ext = jnp.where(am == d, m2, m1)
-            c2v_sc[d] = jnp.minimum(ext, big) * sgn
-        marg = llr + scatter_sum(lambda d: c2v_sc[d][:])
+            put_c2v(d, jnp.minimum(ext, big) * sgn)
+        marg = llr + scatter_sum(get_c2v)
 
         x_new = (marg < 0).astype(f32)
         active_v = done_v == 0.0                     # [bs, V]
@@ -394,7 +410,7 @@ def _kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, c2v_sc, gacc, *,
         x_hat = jnp.where(active_v, x_new, x_hat)
         for d in range(Dc):
             ed = hop(marg, d, transposed=True)       # [bs, C]
-            nv = (ed - c2v_sc[d][:]).astype(msg_dt)
+            nv = (ed - get_c2v(d)).astype(msg_dt)
             v2c[d] = jnp.where(active_c, nv, v2c[d][:])
         iters_c = iters_c + active_c.astype(f32)
         ok = syndrome_ok(x_hat)                      # [bs, 1]
@@ -522,7 +538,9 @@ def msa_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
     Dc_, C_ = a_tab.shape[0], a_tab.shape[1]
     scr = [pltpu.VMEM((Dc_, block, C_),
                       jnp.float32 if exact_f32 else jnp.bfloat16),
-           pltpu.VMEM((Dc_, block, C_), jnp.float32),   # staged c2v
+           # staged c2v (factored route only; dense keeps SSA lists)
+           pltpu.VMEM((Dc_, block, C_) if fac else (1, 1, 1),
+                      jnp.float32),
            pltpu.VMEM((block, C_), jnp.float32)]        # gather acc
     x, iters = _launch_bp(kern, llr, a_tab, h_tab, block=block,
                           scratches=scr, interpret=interpret, caps=caps)
