@@ -108,26 +108,38 @@ def main() -> None:
         y = biawgn.send(k1, x, snr_db)
         x_hat, _ = dec.decode(biawgn.llr(y, snr_db), k2)
         errs = (x_hat != x).sum(axis=-1)
-        return (errs > 0).sum(), errs.sum()
+        # ONE packed tally vector = ONE device->host fetch per chunk; the
+        # copy starts at dispatch time (below) so the blocking fetch in
+        # the consume slot lands on already-transferred bytes. Same
+        # pattern as the campaign harness (runner._start_host_copy);
+        # measured 684k vs 627k cw/s for the two-scalar-output shape.
+        return jnp.stack([(errs > 0).sum(), errs.sum()])
+
+    def dispatch(i, snr_db):
+        t = chunk(i, snr_db)
+        try:
+            t.copy_to_host_async()
+        except Exception:  # noqa: BLE001 - pure optimization
+            pass
+        return t
 
     snr = 3.0
     # Warmup / compile.
-    w, b = chunk(0, snr)
-    w.block_until_ready()
+    chunk(0, snr).block_until_ready()
 
     # Pipelined adaptive loop, like the harness: sync tallies a few
     # chunks behind the dispatch front.
+    import numpy as np
     reps, depth = 30, 4
     t0 = time.perf_counter()
     wec = 0
     pending = []
     for i in range(reps):
-        pending.append(chunk(i + 1, snr))
+        pending.append(dispatch(i + 1, snr))
         if len(pending) >= depth:
-            w, b = pending.pop(0)
-            wec += int(w)
-    for w, b in pending:
-        wec += int(w)
+            wec += int(np.asarray(pending.pop(0))[0])
+    for t in pending:
+        wec += int(np.asarray(t)[0])
     dt = time.perf_counter() - t0
     cw_per_s = reps * batch / dt
 

@@ -194,7 +194,12 @@ class CapSweepRunner:
             else:
                 errs0 = (y != x).sum(axis=-1)[None]      # bec: 2 != bit
             errs = jnp.concatenate([errs0, errs], axis=0)
-        return (errs > 0).sum(axis=-1), errs.sum(axis=-1)
+        # ONE packed [2, K] tally array = ONE device->host fetch per chunk
+        # (a second blocking fetch does not hide under the dispatch
+        # pipeline over the remote-tunnel backend — see
+        # MonteCarloRunner._chunk_body).
+        return jnp.stack([(errs > 0).sum(axis=-1),
+                          errs.sum(axis=-1)]).astype(jnp.int32)
 
     def run_param(self, param: float, key) -> list:
         cfg = self.cfg
@@ -243,20 +248,23 @@ class CapSweepRunner:
 
         def consume():
             nonlocal tot, t_warm, tot_warm
-            w, b = pending.popleft()
-            wec[:] += np.asarray(w, np.int64)
-            bec[:] += np.asarray(b, np.int64)
+            arr = np.asarray(pending.popleft(), np.int64)
+            wec[:] += arr[0]
+            bec[:] += arr[1]
             tot += cfg.batch
             if t_warm is None:
                 t_warm = time.time()
                 tot_warm = tot
+
+        from ldpc_decoders_tpu.harness.runner import _start_host_copy
 
         chunk_i = 0
         # Larger caps can only have fewer errors, so the largest cap is
         # the last to cross min_wec; still check all (ties at saturation).
         while (wec < cfg.min_wec).any():
             chunk_i += 1
-            pending.append(self._chunk(key, chunk_i, param))
+            pending.append(_start_host_copy(
+                self._chunk(key, chunk_i, param)))
             if len(pending) >= depth:
                 consume()
             if time.time() - t_log > cfg.log_freq:

@@ -101,7 +101,8 @@ class EnsembleMonteCarloRunner:
     # ------------------------------------------------------------------
     def _chunk_body(self, key, i, param, tables,
                     batch: Optional[int] = None):
-        """One super-batch over all members: (wec [G], bec [G]).
+        """One super-batch over all members: packed tallies [2, G]
+        (row 0 = wec, row 1 = bec).
 
         ``tables`` are the decoder's stacked per-member one-hot matrices,
         passed as a traced ARGUMENT: closing over them would embed ~G x
@@ -119,21 +120,25 @@ class EnsembleMonteCarloRunner:
             x_hat, _ = self.dec.decode_tables(tables,
                                               self.mod.llr(y, param))
         errs = (x_hat != x.astype(x_hat.dtype)).sum(axis=-1)   # [G, B]
-        return (errs > 0).sum(axis=-1), errs.sum(axis=-1)
+        # ONE packed [2, G] tally array = ONE device->host fetch per chunk
+        # (see MonteCarloRunner._chunk_body: a second blocking fetch does
+        # not hide under the dispatch pipeline over the tunnel backend).
+        return jnp.stack([(errs > 0).sum(axis=-1),
+                          errs.sum(axis=-1)]).astype(jnp.int32)
 
     def _build_sharded_chunk(self, mesh):
         local = self.cfg.batch // mesh.devices.size
 
         def per_device(key, i, param, tables):
             dev_key = jax.random.fold_in(key, jax.lax.axis_index("batch"))
-            wec, bec = self._chunk_body(dev_key, i, param, tables,
-                                        batch=local)
-            return (jax.lax.psum(wec, "batch"), jax.lax.psum(bec, "batch"))
+            tallies = self._chunk_body(dev_key, i, param, tables,
+                                       batch=local)
+            return jax.lax.psum(tallies, "batch")
 
         sharded = jax.shard_map(
             per_device, mesh=mesh,
             in_specs=(P(), P(), P(), P()),
-            out_specs=(P(), P()),
+            out_specs=P(),
             check_vma=False)
         return jax.jit(sharded)
 
@@ -175,19 +180,21 @@ class EnsembleMonteCarloRunner:
 
         def consume():
             nonlocal tot, t_warm, tot_warm
-            w, b = pending.popleft()
-            wec[:] += np.asarray(w, np.int64)
-            bec[:] += np.asarray(b, np.int64)
+            arr = np.asarray(pending.popleft(), np.int64)
+            wec[:] += arr[0]
+            bec[:] += arr[1]
             tot += cfg.batch
             if t_warm is None:
                 t_warm = time.time()
                 tot_warm = tot
 
+        from ldpc_decoders_tpu.harness.runner import _start_host_copy
+
         chunk_i = 0
         while (wec < cfg.min_wec).any():
             chunk_i += 1
-            pending.append(self._chunk(key, chunk_i, param,
-                                       self.dec.tables))
+            pending.append(_start_host_copy(
+                self._chunk(key, chunk_i, param, self.dec.tables)))
             if len(pending) >= depth:
                 consume()
             if time.time() - t_log > cfg.log_freq:

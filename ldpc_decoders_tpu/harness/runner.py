@@ -35,6 +35,22 @@ from ldpc_decoders_tpu.harness.saver import Saver
 ITER_HIST_LEN = 2000  # reference admm.py:36
 
 
+def _start_host_copy(tallies):
+    """Kick off the device->host copy of a chunk's packed tally vector at
+    DISPATCH time (it enqueues behind the chunk's compute), so the
+    blocking ``np.asarray`` in consume() lands pipeline-depth chunks
+    later on already-transferred bytes. Over the remote-tunnel TPU
+    backend this removes the fetch RTT from the host critical path
+    entirely: 627k -> 684k cw/s measured at the flagship point
+    (scripts/profile_harness_r5.py variant D). Best-effort — backends
+    without the method just fetch synchronously in consume()."""
+    try:
+        tallies.copy_to_host_async()
+    except Exception:  # noqa: BLE001 - pure optimization, never fatal
+        pass
+    return tallies
+
+
 def kernel_policy_ok(cfg: "RunConfig") -> bool:
     """Whether the fused Pallas route is *proven equivalent* for this
     (channel, decoder, precision) — eligibility beyond mere
@@ -407,11 +423,20 @@ class MonteCarloRunner:
 
     def _chunk_body(self, key, i, param, tables=None,
                     batch: Optional[int] = None):
-        """One super-batch: returns (wec, bec, iters[B]). ``i`` is the
+        """One super-batch: returns ONE packed int32 tally vector —
+        ``[wec, bec]``, extended with the in-graph iteration histogram
+        (length ITER_HIST_LEN) for stats-tracking decoders. ``i`` is the
         chunk counter — key derivation happens inside jit so each chunk
         is a single host->device dispatch. ``tables`` (rotatable
         decoders) carries the member-specific decoder tables as traced
-        arguments."""
+        arguments.
+
+        Packing matters: over a remote-tunnel backend every blocking
+        device->host fetch costs a full RTT (~20 ms measured on the axon
+        v5e), and while ONE fetch per chunk hides under the dispatch
+        pipeline, a second does not — it alone halved campaign
+        throughput (627k -> 321k cw/s at the flagship point,
+        scripts/profile_harness_r5.py). One packed vector = one fetch."""
         batch = batch or self.cfg.batch
         kx, kc, kd = jax.random.split(jax.random.fold_in(key, i), 3)
         x = self._sample_x(kx, batch)
@@ -421,12 +446,16 @@ class MonteCarloRunner:
         else:
             x_hat, aux = self.dec.decode(y, param, kd)
         errs = (x_hat != x.astype(x_hat.dtype)).sum(axis=-1)
-        iters = aux.get("iters", jnp.zeros(batch, jnp.int32))
-        return (errs > 0).sum(), errs.sum(), iters
+        out = jnp.stack([(errs > 0).sum(), errs.sum()]).astype(jnp.int32)
+        if self.track_hist:
+            iters = aux.get("iters", jnp.zeros(batch, jnp.int32))
+            hist = jnp.bincount(jnp.clip(iters, 0, ITER_HIST_LEN - 1),
+                                length=ITER_HIST_LEN).astype(jnp.int32)
+            out = jnp.concatenate([out, hist])
+        return out
 
     def _build_sharded_chunk(self, mesh):
         local = self.cfg.batch // mesh.devices.size
-        track_hist = self.track_hist
         stateful = self.stateful
         rotatable = self.rotatable
 
@@ -436,19 +465,15 @@ class MonteCarloRunner:
             state = extra[1:] if rotatable else extra
             if stateful:
                 self.dec.dec.begin_pure(state[0], axis_name="batch")
-            wec, bec, iters = self._chunk_body(dev_key, i, param,
-                                               tables=tables, batch=local)
-            out_state = (self.dec.dec.end_pure(),) if stateful else ()
-            if track_hist:
-                # Histogram in-graph and psum it: the replicated result is
-                # addressable on every host (a P("batch")-sharded iters is
-                # not under multi-process), and it moves the bincount off
-                # the host tally loop.
-                iters = jax.lax.psum(
-                    jnp.bincount(jnp.clip(iters, 0, ITER_HIST_LEN - 1),
-                                 length=ITER_HIST_LEN), "batch")
-            return (jax.lax.psum(wec, "batch"), jax.lax.psum(bec, "batch"),
-                    iters) + out_state
+            tallies = self._chunk_body(dev_key, i, param,
+                                       tables=tables, batch=local)
+            # One psum covers wec, bec AND the in-graph histogram (the
+            # packed tally vector is elementwise-additive across devices);
+            # the replicated result is addressable on every host.
+            summed = jax.lax.psum(tallies, "batch")
+            if stateful:
+                return summed, self.dec.dec.end_pure()
+            return summed
 
         # Replicated extras: member tables (rotatable) and/or decoder
         # state (stateful); P() broadcasts over every pytree leaf.
@@ -460,8 +485,7 @@ class MonteCarloRunner:
         sharded = jax.shard_map(
             per_device, mesh=mesh,
             in_specs=(P(), P(), P()) + extra_specs,
-            out_specs=(P(), P(), P() if track_hist else P("batch"))
-            + ((P(),) if stateful else ()),
+            out_specs=(P(), P()) if stateful else P(),
             check_vma=False)
         return jax.jit(sharded)
 
@@ -511,19 +535,20 @@ class MonteCarloRunner:
             # Thread the replicated decoder state chunk-to-chunk; the
             # dependency chains dispatches but they stay asynchronous.
             def decode_chunk(i):
-                w, b, iters, self._dec_state = self._chunk(
+                t, self._dec_state = self._chunk(
                     param_key, i, param, self._dec_state)
-                return w, b, iters
+                return _start_host_copy(t)
         elif self.rotatable:
             # Member tables ride every dispatch as traced arguments, so
             # rotate_member() swaps the decoded code without recompiling.
             def decode_chunk(i):
-                return self._chunk(param_key, i, param, self.dec.tables)
+                return _start_host_copy(
+                    self._chunk(param_key, i, param, self.dec.tables))
         else:
-            # Returns device arrays: dispatch is asynchronous, the sync
+            # Returns a device array: dispatch is asynchronous, the sync
             # happens in consume() pipeline-depth slots later.
             def decode_chunk(i):
-                return self._chunk(param_key, i, param)
+                return _start_host_copy(self._chunk(param_key, i, param))
 
         if self._probe_pending:
             # Compile-probe the auto-selected Pallas route at the REAL
@@ -554,23 +579,20 @@ class MonteCarloRunner:
         consumed = 0
 
         def consume():
+            # ONE blocking fetch per chunk: the packed tally vector (see
+            # _chunk_body). Its host copy was started at dispatch time, so
+            # in steady state np.asarray finds the bytes already landed.
             nonlocal tot, wec, bec, hist, t_warm, tot_warm, consumed
             consumed += 1
-            w, b, iters = pending.popleft()
-            wec += int(w)
-            bec += int(b)
+            arr = np.asarray(pending.popleft(), dtype=np.int64)
+            wec += int(arr[0])
+            bec += int(arr[1])
             tot += cfg.batch
             if t_warm is None:
                 t_warm = time.time()
                 tot_warm = tot
             if self.track_hist:
-                with prof.tag("hist"):
-                    if self.mesh is not None:  # already binned in-graph
-                        hist += np.asarray(iters, dtype=np.int64)
-                    else:
-                        hist += np.bincount(
-                            np.clip(np.asarray(iters), 0, ITER_HIST_LEN - 1),
-                            minlength=ITER_HIST_LEN)
+                hist += arr[2:]
 
         def effective_depth(tick: int) -> int:
             """Pipeline-fill target for this tick (adaptive_pipeline).
@@ -625,7 +647,9 @@ class MonteCarloRunner:
         return status()
 
     def _host_chunk(self, i):
-        """Host-side decoders (LP): sample on device, decode on host."""
+        """Host-side decoders (LP): sample on device, decode on host.
+        Returns the same packed [wec, bec] tally vector as the device
+        chunks so consume() is route-oblivious."""
         param = self._param
         kx, kc, kd = jax.random.split(
             jax.random.fold_in(self._param_key, i), 3)
@@ -633,7 +657,7 @@ class MonteCarloRunner:
         y = self.mod.send(kc, jnp.asarray(x), param)
         x_hat, _ = self.dec.decode(y, param, kd)
         errs = (np.asarray(x_hat) != x.astype(np.asarray(x_hat).dtype)).sum(-1)
-        return int((errs > 0).sum()), int(errs.sum()), np.zeros(1, np.int32)
+        return np.array([(errs > 0).sum(), errs.sum()], np.int64)
 
     def run(self) -> dict:
         """Full sweep (reference main.py:22-50). Returns {param: metrics}."""
