@@ -85,7 +85,10 @@ def main() -> None:
             jnp.zeros((16384, code.get_n()), jnp.float32))
         probe[0].block_until_ready()
     except Exception as e:  # noqa: BLE001
-        if "UNAVAILABLE" in str(e):
+        from ldpc_decoders_tpu.utils.backend import (
+            is_transient_backend_error,
+        )
+        if is_transient_backend_error(e):
             # Transient worker outage AFTER wait_for_backend succeeded —
             # fail loudly (the driver retries) rather than silently
             # degrading the headline to the XLA route.

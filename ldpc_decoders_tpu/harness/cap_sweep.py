@@ -239,7 +239,10 @@ class CapSweepRunner:
                 jax.block_until_ready(self._chunk(key, 0, param))
                 self._fallback_dec = None
             except Exception as e:  # noqa: BLE001
-                if "UNAVAILABLE" in str(e):
+                from ldpc_decoders_tpu.utils.backend import (
+                    is_transient_backend_error,
+                )
+                if is_transient_backend_error(e):
                     raise   # transient worker outage, not ineligibility
                 self._abandon_pallas(e)
 

@@ -562,7 +562,10 @@ class MonteCarloRunner:
                 jax.block_until_ready(decode_chunk(0))
                 self._fallback_dec = None   # release the XLA tables
             except Exception as e:  # noqa: BLE001
-                if "UNAVAILABLE" in str(e):
+                from ldpc_decoders_tpu.utils.backend import (
+                    is_transient_backend_error,
+                )
+                if is_transient_backend_error(e):
                     # Transient TPU worker outage, not kernel
                     # ineligibility — fail loudly instead of silently
                     # downgrading the whole campaign to the XLA route.

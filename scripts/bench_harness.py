@@ -67,16 +67,19 @@ def main() -> None:
     for name, kw in CASES:
         if args.only and name not in args.only:
             continue
-        for kernel in kw.pop("kernels", ("auto", "xla")):
-            code = kw.pop("code", "1200_3_6_ldpc")
-            words = kw.pop("words", args.words)
+        for kernel in kw.get("kernels", ("auto", "xla")):
+            # Fresh copy per kernel iteration: popping from the shared
+            # case dict and hand-restoring keys silently changed the
+            # second (xla) iteration's config whenever a restore was
+            # forgotten (ADVICE r4).
+            local = {k: v for k, v in kw.items() if k != "kernels"}
+            code = local.pop("code", "1200_3_6_ldpc")
+            words = local.pop("words", args.words)
             cfg = RunConfig(code=code, min_wec=10 ** 9,
                             max_words=words, log_freq=1e9,
-                            kernel=kernel, max_iter=kw.pop("max_iter", 10),
-                            **kw)
-            kw["max_iter"] = cfg.max_iter
-            kw["code"] = code
-            kw["words"] = words
+                            kernel=kernel,
+                            max_iter=local.pop("max_iter", 10),
+                            **local)
             runner = MonteCarloRunner(cfg)
             t0 = time.time()
             res = runner.run()[cfg.params[0]]

@@ -377,3 +377,22 @@ def test_adaptive_pipeline_fills_at_deep_tails():
     # wer ~5e-3 at eps=0.05 -> ~0.3 errors/chunk -> dozens of chunks.
     assert st["dispatched"] > 8
     assert res["wec"] >= 10
+
+
+def test_transient_backend_error_classifier():
+    """Kernel-probe fallback vs re-raise is decided by exception TYPE +
+    status PREFIX, not a substring anywhere in the text (ADVICE r4)."""
+    from jax.errors import JaxRuntimeError
+
+    from ldpc_decoders_tpu.utils.backend import is_transient_backend_error
+
+    assert is_transient_backend_error(
+        JaxRuntimeError("UNAVAILABLE: TPU worker mid-recovery"))
+    assert is_transient_backend_error(
+        JaxRuntimeError("  DEADLINE_EXCEEDED: compile helper timeout"))
+    # Ineligibility errors that merely MENTION the token must fall back.
+    assert not is_transient_backend_error(
+        JaxRuntimeError("INVALID_ARGUMENT: op would be UNAVAILABLE"))
+    # Non-runtime exceptions (Mosaic rejections surface as ValueError &c.)
+    # are never transient.
+    assert not is_transient_backend_error(ValueError("UNAVAILABLE: no"))
