@@ -58,13 +58,31 @@ class ADMMDecoder:
 
     def __init__(self, graph: TannerGraph, mu: float = 3.0, eps: float = 1e-5,
                  max_iter: int = 10, allow_pseudo: bool = False,
-                 iter_cap: int = 2000, perm: str = "auto", **_):
+                 iter_cap: int = 2000, perm: str = "auto",
+                 presort: str = "auto", **_):
         self.graph = graph
         self.mu = float(mu)
         self.eps = float(eps)
         self.max_iter = int(max_iter)
         self.allow_pseudo = bool(allow_pseudo)
         self.iter_cap = self.max_iter if self.max_iter > 0 else int(iter_cap)
+        # Probe-and-sort (fused route, big caps): the fused kernel's
+        # early exit is BLOCK-granular (max over the block's words), and
+        # at cap-bound operating points the iteration distribution is
+        # long-tailed — margulis BSC p=0.07, cap 2000: per-word mean 589
+        # / median 108, but 5.3% of words cap out, so ~every block of 32
+        # runs the full cap (measured per-block max mean 1991,
+        # scripts/mar_admm_probe.py). A short capped probe decode
+        # (discarded) ranks words by convergence time; decoding the
+        # batch SORTED by that rank aligns block early-exit with
+        # per-word cost. Exact: trajectories are per-word deterministic
+        # in the LLRs, so outputs are bit-identical under the
+        # sort/unsort permutation. "auto" enables it on the pallas route
+        # when the effective cap is deep enough that the probe
+        # (PRESORT_PROBE_CAP iterations) is small against the tail.
+        if presort not in ("auto", "on", "off"):
+            raise ValueError(f"unknown presort mode {presort!r}")
+        self.presort = presort
         # Convergence threshold eps^2 * nnz(H) (reference admm.py:15).
         self.thresh = self.eps ** 2 * graph.n_edge
         # Unlike BP (bf16 messages / exact one-hot sums), ADMM iterates
@@ -131,6 +149,20 @@ class ADMMDecoder:
             return out.reshape(B, g.n_chk, g.max_chk_deg)
         return g.gather_chk(g.expand_var(per_var), fill=0.0)
 
+    # Probe depth for presort: deep enough to separate "converges like
+    # the median" from "tail/cap-bound" on every measured workload, small
+    # against the caps where presort engages.
+    PRESORT_PROBE_CAP = 256
+    # "auto" threshold: the probe must be a small fraction of the cap.
+    PRESORT_MIN_CAP = 1024
+
+    def _presort_active(self) -> bool:
+        if self.perm != "pallas" or self.presort == "off":
+            return False
+        if self.presort == "on":
+            return True
+        return self.iter_cap >= self.PRESORT_MIN_CAP
+
     def decode(self, llr: jnp.ndarray, key=None) -> tuple:
         if self.perm == "pallas":
             import jax
@@ -140,18 +172,33 @@ class ADMMDecoder:
                 admm_decode_pallas_factored,
             )
             interp = jax.default_backend() == "cpu"
-            if self._pallas_a is not None:
-                return admm_decode_pallas(
-                    self._pallas_a, llr.astype(jnp.float32), mu=self.mu,
-                    eps=self.eps, max_iter=self.iter_cap,
+
+            def run(x, cap):
+                if self._pallas_a is not None:
+                    return admm_decode_pallas(
+                        self._pallas_a, x, mu=self.mu,
+                        eps=self.eps, max_iter=cap,
+                        n_edge=self.graph.n_edge,
+                        var_deg=self._uniform_var_deg, interpret=interp)
+                l_tab, m_tab, _ = self._pallas_lm
+                return admm_decode_pallas_factored(
+                    l_tab, m_tab, self.graph.n_var, x,
+                    mu=self.mu, eps=self.eps, max_iter=cap,
                     n_edge=self.graph.n_edge,
                     var_deg=self._uniform_var_deg, interpret=interp)
-            l_tab, m_tab, _ = self._pallas_lm
-            return admm_decode_pallas_factored(
-                l_tab, m_tab, self.graph.n_var, llr.astype(jnp.float32),
-                mu=self.mu, eps=self.eps, max_iter=self.iter_cap,
-                n_edge=self.graph.n_edge, var_deg=self._uniform_var_deg,
-                interpret=interp)
+
+            gamma = llr.astype(jnp.float32)
+            if not self._presort_active():
+                return run(gamma, self.iter_cap)
+            # Probe-and-sort (see __init__): rank words by a capped probe
+            # decode, decode sorted, un-permute. Bit-identical outputs —
+            # per-word trajectories are independent of block grouping.
+            probe_cap = min(self.PRESORT_PROBE_CAP, self.iter_cap)
+            _, it_probe = run(gamma, probe_cap)
+            order = jnp.argsort(it_probe, stable=True)
+            x_s, it_s = run(gamma[order], self.iter_cap)
+            inv = jnp.argsort(order, stable=True)
+            return x_s[inv], it_s[inv]
         graph = self.graph
         gamma = llr.astype(jnp.float32)
         B = gamma.shape[0]

@@ -428,3 +428,31 @@ def test_pallas_admm_bec_convergence_matches_gather(code):
     xp, ip = pal.decode(llr)
     assert (np.asarray(xr) == np.asarray(xp)).mean() >= 0.999
     assert (np.asarray(ir) == np.asarray(ip)).mean() >= 0.9
+
+
+def test_pallas_admm_presort_bit_identical(code):
+    """Probe-and-sort (cap-bound throughput fix, scripts/mar_admm_probe)
+    is a pure permutation: outputs must be BIT-identical to the unsorted
+    fused decode — per-word trajectories are independent of block
+    grouping, and the sort/unsort round-trips exactly."""
+    from ldpc_decoders_tpu.decoders.admm import ADMMDecoder
+
+    B = 96  # not a block multiple: exercises the pad+sort interaction
+    key = jax.random.PRNGKey(17)
+    xw = jnp.zeros((B, code.get_n()), jnp.int32)
+    llr = biawgn.llr(biawgn.send(key, xw, 2.0), 2.0)
+
+    off = ADMMDecoder(code.graph, mu=3.0, eps=1e-5, max_iter=40,
+                      perm="pallas", presort="off")
+    on = ADMMDecoder(code.graph, mu=3.0, eps=1e-5, max_iter=40,
+                     perm="pallas", presort="on")
+    xo, io_ = off.decode(llr)
+    xn, in_ = on.decode(llr)
+    np.testing.assert_array_equal(np.asarray(xo), np.asarray(xn))
+    np.testing.assert_array_equal(np.asarray(io_), np.asarray(in_))
+    # auto: engages only at deep caps (the probe must be small vs the
+    # tail), so the flagship cap-50 campaigns are untouched.
+    assert not ADMMDecoder(code.graph, max_iter=50,
+                           perm="pallas")._presort_active()
+    assert ADMMDecoder(code.graph, max_iter=0, iter_cap=2000,
+                       perm="pallas")._presort_active()
