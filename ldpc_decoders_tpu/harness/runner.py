@@ -138,6 +138,11 @@ class RunConfig:
     # so the min-wec estimator stays unbiased (reference main.py:37
     # semantics).
     adaptive_pipeline: bool = True
+    # ADMM probe-and-sort on the fused route ("auto" | "on" | "off"):
+    # rank words by a capped probe decode and decode sorted so the
+    # block-granular early exit tracks per-word cost — bit-identical
+    # outputs; "auto" engages at deep caps (decoders/admm.py).
+    presort: str = "auto"
     # Compute-kernel route: "auto" promotes the fused whole-loop Pallas
     # kernels (ops/pallas_bp.py, 1.4-4.3x the XLA routes on a v5e) when
     # the workload is eligible AND proven-equivalent for the channel
@@ -153,7 +158,7 @@ class RunConfig:
                     train=self.train, apprx=self.apprx,
                     iter_cap=self.iter_cap, cache_dir=self.cache_dir,
                     msg_dtype=jnp.dtype(self.msg_dtype),
-                    inf_policy=self.inf_policy)
+                    inf_policy=self.inf_policy, presort=self.presort)
 
 
 class MonteCarloRunner:

@@ -108,6 +108,15 @@ def setup_parser() -> argparse.ArgumentParser:
                              "min_wec; RunConfig.adaptive_pipeline)")
     parser.add_argument("--profile", action="store_true",
                         help="log per-section LoopProfiler timings")
+    parser.add_argument("--presort", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="ADMM probe-and-sort (fused route): rank "
+                             "words by a capped probe decode and decode "
+                             "the batch sorted, so block-granular early "
+                             "exit tracks per-word cost at deep caps — "
+                             "bit-identical outputs; 'auto' engages at "
+                             "iter_cap >= 1024 (2.3-9x at the margulis "
+                             "cap-bound points)")
     return bind_parser_common(parser)
 
 
@@ -134,7 +143,8 @@ def main(argv=None) -> None:
         msg_dtype="bfloat16" if args.bf16 else "float32",
         pipeline=args.pipeline, profile=args.profile,
         adaptive_pipeline=not args.fixed_pipeline,
-        inf_policy=args.inf_policy, kernel=args.kernel)
+        inf_policy=args.inf_policy, kernel=args.kernel,
+        presort=args.presort)
 
     mesh = None
     if args.mesh_code:
