@@ -331,12 +331,24 @@ class MonteCarloRunner:
             )
             if not tables_fit_vmem(self.code.graph):
                 # Digit-factorized fallback: a chip-measured WIN for
-                # ADMM (2-9x the gather route) and the ternary BEC SPA
-                # (1.2x, integer-exact); for margulis MSA/SPA it is a
-                # throughput wash vs the XLA routes (25k vs 22k cw/s)
-                # with cross-route sum-order jitter, so BP stays on XLA.
-                if not ((cfg.decoder == "ADMM" or cfg.channel == "bec")
-                        and factored_tables_fit_vmem(self.code.graph)):
+                # ADMM (2-9x the gather route with presort), the ternary
+                # BEC SPA (1.2x, integer-exact), and — round 5, after
+                # the staged body + vacc scatter store — the bf16
+                # refmode SPA (35.8k vs 26.9k XLA at margulis, 1.33x;
+                # the biAWGN f32 config downgrades to bf16 below, same
+                # as the dense kernels). Margulis MSA and exact-f32
+                # refmode measured a wash or worse vs the XLA routes
+                # (MSA bf16 45k vs 52k; refmode exact-f32 compiles only
+                # at block 8 and loses, 8.9k vs 11.2k) and stay on XLA.
+                fac_ok = factored_tables_fit_vmem(self.code.graph)
+                bf16_refmode_spa = (
+                    cfg.decoder == "SPA"
+                    and cfg.inf_policy == "reference"
+                    and (cfg.channel == "biawgn"
+                         or jnp.dtype(cfg.msg_dtype) == jnp.bfloat16))
+                if not (fac_ok and (cfg.decoder == "ADMM"
+                                    or cfg.channel == "bec"
+                                    or bf16_refmode_spa)):
                     return
         kw = cfg.decoder_kwargs()
         kw["perm"] = "pallas"

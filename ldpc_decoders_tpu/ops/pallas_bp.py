@@ -183,7 +183,8 @@ def _onehot_dot(val, a, *, transposed, exact):
     return (one(s1) + one(s2)) + one(s3)
 
 
-def _bp_table_ops(t1_ref, t2_ref, *, Dc, exact_f32, fac, gacc=None):
+def _bp_table_ops(t1_ref, t2_ref, *, Dc, exact_f32, fac, gacc=None,
+                  vacc=None):
     """(hop, scatter01, syndrome_ok) over either table format.
 
     Dense (``fac=False``): t1 = A [Dc, C, V] one-hots, t2 = H [V, C].
@@ -271,14 +272,28 @@ def _bp_table_ops(t1_ref, t2_ref, *, Dc, exact_f32, fac, gacc=None):
         and blows scoped vmem at margulis scale (chip-measured 21 MB
         at block 32)."""
         ex = exact_f32 if exact is None else exact
-        outs = []
+        if vacc is None:
+            outs = []
+            for h in range(n_grp):
+                acc = None
+                for d in range(Dc):
+                    g = one(val_of(d) * t2_ref[d, h], d, False, ex)
+                    acc = g if acc is None else acc + g
+                outs.append(acc)
+            return jnp.concatenate(outs, axis=-1)
+        # Store each group's accumulated result straight into the [bs, V]
+        # scratch: like ``gacc`` for gathers, the real VMEM store per
+        # group releases the masked-product temporaries — kernels that
+        # need SEVERAL scatters per iteration (the refmode SPA's class
+        # sums) otherwise stack n_grp x Dc masked [bs, C] planes per
+        # scatter and blow scoped vmem at margulis scale.
         for h in range(n_grp):
             acc = None
             for d in range(Dc):
                 g = one(val_of(d) * t2_ref[d, h], d, False, ex)
                 acc = g if acc is None else acc + g
-            outs.append(acc)
-        return jnp.concatenate(outs, axis=-1)
+            vacc[:, h * lane:(h + 1) * lane] = acc
+        return vacc[:]
 
     def scatter01(ind, d):
         return jnp.concatenate(
@@ -821,7 +836,7 @@ _NAN_MIN = 1.5e9
 
 
 def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage,
-                    gacc, *, Dc, C, V, max_iter, check_init,
+                    gacc, vacc, *, Dc, C, V, max_iter, check_init,
                     exact_f32=False, caps=None, fac=False):
     """SPA with the reference's float64 inf/NaN cascade (inf_policy=
     'reference'), sentinel-encoded, whole loop VMEM-resident. Plane
@@ -837,9 +852,11 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage,
     llr = llr_ref[:].astype(f32)
     bs = llr.shape[0]
     msg_dt = f32 if exact_f32 else jnp.bfloat16
-    hop, _, scatter01, syndrome_ok = _bp_table_ops(
-        a_ref, h_ref, Dc=Dc, exact_f32=exact_f32, fac=fac, gacc=gacc)
-    del stage  # SSA lists fit the dense flagship; staging unused here
+    hop, scatter_sum, scatter01, syndrome_ok = _bp_table_ops(
+        a_ref, h_ref, Dc=Dc, exact_f32=exact_f32, fac=fac, gacc=gacc,
+        vacc=vacc if fac else None)
+    if not fac:
+        del stage  # SSA lists fit the dense flagship; staging unused
 
     x0 = (llr < 0).astype(f32)
     zero_c = None
@@ -856,6 +873,127 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage,
     else:
         done_v0 = zero_v
         done_c0 = zero_c
+
+    def _msg_classes(p):
+        """Per-slot class decomposition of a v2c message plane
+        (spa_check_rows_ref): (nan, ph, code) with code = sat + 8*neg —
+        both are small counts, so one f32 plane carries them exactly
+        (sums over Dc <= 8 slots stay integer-exact; mod/floor-8
+        unpacking is exact). Recomputed on demand from the v2c scratch
+        in the staged body — identical values at one-use live ranges."""
+        nan = p > _NAN_MIN
+        pinf = (p > _INF_MIN) & ~nan
+        ninf = p < -_INF_MIN
+        fin = ~(nan | pinf | ninf)
+        mag = jnp.abs(p)
+        sat = (pinf | ninf | (fin & (mag >= _LLR_CLIP))).astype(f32)
+        live = fin & (mag < _LLR_CLIP)
+        ph = jnp.where(live, _phi(jnp.clip(mag, _PHI_EPS, _LLR_CLIP)), 0.0)
+        neg = ((fin & (p < 0)) | ninf).astype(f32)
+        return nan, ph, sat + 8.0 * neg
+
+    def _c2v_classes(p):
+        """(cn, cp, cm, finv) of a c2v plane (_spa_ref_step)."""
+        cn = p > _NAN_MIN
+        cp = (p > _INF_MIN) & ~cn
+        cm = p < -_INF_MIN
+        finv = jnp.where(cn | cp | cm, 0.0, p)
+        return cn, cp, cm, finv
+
+    def body_fac(it, carry):
+        """Staged twin of ``body`` for the factored (margulis-scale)
+        route: the Dc-long SSA plane lists of the dense body (~20 per
+        slot across the class machinery) blow Mosaic's scoped-vmem
+        budget even at block 16, so prefix sums and c2v planes stage
+        through VMEM scratch and every class plane is recomputed at its
+        use site. Same values in the same float association (prefix +
+        suffix accumulation order unchanged; classes are deterministic
+        elementwise) — bit-identical to the dense body."""
+        x_hat, done_v, done_c, iters_c = carry
+
+        # -- check node: prefix pass stages the running (ph, code) sums
+        # BEFORE folding in slot d (= exclusive prefix) plus the per-slot
+        # (ph, code) planes themselves, then a reverse pass adds the
+        # running suffix (reading the staged per-slot planes — no class
+        # recompute temporaries) and emits c2v into scratch.
+        pre_ph = zero_c
+        pre_code = zero_c
+        nan_row = None
+        for d in range(Dc):
+            stage[0, d] = pre_ph
+            stage[1, d] = pre_code
+            nan, ph, codep = _msg_classes(v2c[d][:].astype(f32))
+            stage[3, d] = ph
+            stage[4, d] = codep
+            nan_row = nan if d == 0 else (nan_row | nan)
+            pre_ph = pre_ph + ph
+            pre_code = pre_code + codep
+        suf_ph = zero_c
+        suf_code = zero_c
+        for d in range(Dc - 1, -1, -1):
+            excl_ph = stage[0, d][:] + suf_ph
+            excl_code = stage[1, d][:] + suf_code
+            n_sat = jnp.mod(excl_code, 8.0)
+            excl_ng = jnp.floor(excl_code * 0.125)
+            sgn = 1.0 - 2.0 * jnp.mod(excl_ng, 2.0)
+            val = _phi(jnp.maximum(excl_ph, _PHI_EPS)) * sgn
+            out = jnp.where(n_sat == float(Dc - 1), sgn * _INF_S, val)
+            stage[2, d] = jnp.where(nan_row, _NAN_S, out)
+            suf_ph = suf_ph + stage[3, d][:]
+            suf_code = suf_code + stage[4, d][:]
+
+        # -- variable node: class-aware sums, group-major scatters
+        # writing through the vacc scratch (one live group at a time).
+        # finv and the packed class indicator stage into the (now dead)
+        # prefix-sum slots so every scatter read is a pure scratch load;
+        # the two 0/1 indicator scatters pack base-8 into ONE plane
+        # ((cp|cn) + 8*(cm|cn): values {0,1,8,9} are bf16-exact, sums
+        # over Dc <= 8 slots unpack exactly via mod/floor).
+        for d in range(Dc):
+            c2v_d = stage[2, d][:]
+            stage[0, d] = _c2v_classes(c2v_d)[3]
+            stage[1, d] = ((c2v_d > _INF_MIN).astype(f32)
+                           + 8.0 * ((c2v_d < -_INF_MIN)
+                                    | (c2v_d > _NAN_MIN)).astype(f32))
+        fin_sum = llr + scatter_sum(lambda d: stage[0, d][:])
+        n_code = scatter_sum(lambda d: stage[1, d][:], exact=False)
+        n_p = jnp.mod(n_code, 8.0)
+        n_n = jnp.floor(n_code * 0.125)
+
+        is_nan = (n_p > 0.5) & (n_n > 0.5)
+        is_p = ~is_nan & (n_p > 0.5)
+        is_n = ~is_nan & (n_n > 0.5)
+        x_new = jnp.where(is_n, 1.0,
+                          jnp.where(is_nan | is_p, 0.0,
+                                    (fin_sum < 0).astype(f32)))
+        marg_enc = jnp.where(is_nan, _NAN_S,
+                             jnp.where(is_p, _INF_S,
+                                       jnp.where(is_n, -_INF_S, fin_sum)))
+
+        active_v = done_v == 0.0
+        active_c = done_c == 0.0
+        x_hat = jnp.where(active_v, x_new, x_hat)
+        for d in range(Dc):
+            ed = hop(marg_enc, d, transposed=True)
+            c2v_d = stage[2, d][:]
+            cp_d = (c2v_d > _INF_MIN) & ~(c2v_d > _NAN_MIN)
+            cm_d = c2v_d < -_INF_MIN
+            finv_d = stage[0, d][:]
+            em_nan = ed > _NAN_MIN
+            em_p = (ed > _INF_MIN) & ~em_nan
+            em_n = ed < -_INF_MIN
+            nv = jnp.where(em_p, jnp.where(cp_d, _NAN_S, _INF_S),
+                           ed - finv_d)
+            nv = jnp.where(em_n, jnp.where(cm_d, _NAN_S, -_INF_S), nv)
+            nv = jnp.where(em_nan, _NAN_S, nv)
+            v2c[d] = jnp.where(active_c, nv.astype(msg_dt), v2c[d][:])
+        iters_c = iters_c + active_c.astype(f32)
+        ok = syndrome_ok(x_hat)
+        done_v = jnp.maximum(done_v, ok)
+        done_c = jnp.maximum(done_c, ok)
+        if caps is not None:
+            _snap_write(x_out, caps, it, x_hat)
+        return x_hat, done_v, done_c, iters_c
 
     def body(it, carry):
         x_hat, done_v, done_c, iters_c = carry
@@ -950,7 +1088,8 @@ def _spa_ref_kernel(llr_ref, a_ref, h_ref, x_out, it_out, v2c, stage,
         return x_hat, done_v, done_c, iters_c
 
     t, (x_hat, _, _, iters_c) = _bounded_loop(
-        max_iter, body, (x0, done_v0, done_c0, zero_c), done_idx=2)
+        max_iter, body_fac if fac else body,
+        (x0, done_v0, done_c0, zero_c), done_idx=2)
     if caps is None:
         x_out[:] = x_hat.astype(jnp.int32)
     else:
@@ -977,7 +1116,10 @@ def spa_ref_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
     V0 = llr.shape[1]
     llr, _ = _bp_pad_v(llr.astype(jnp.float32), fac, a_tab, h_tab, 1.0)
     if fac:
-        block = min(block, 16)
+        # Chip-probed (round 5, margulis): the staged body + vacc store
+        # compiles bf16 at block 32; the exact-f32 split temporaries
+        # need block 8.
+        block = min(block, 8 if exact_f32 else 32)
     kern = functools.partial(_spa_ref_kernel, Dc=a_tab.shape[0],
                              C=a_tab.shape[1], V=llr.shape[1],
                              max_iter=int(max_iter),
@@ -986,9 +1128,15 @@ def spa_ref_decode_pallas(a_tab, h_tab, llr, *, max_iter: int,
     Dc_, C_ = a_tab.shape[0], a_tab.shape[1]
     scr = [pltpu.VMEM((Dc_, block, C_),
                       jnp.float32 if exact_f32 else jnp.bfloat16),
-           # unused placeholder (see spa_decode_pallas)
-           pltpu.VMEM((1, 1, 1, 1), jnp.float32),
-           pltpu.VMEM((block, C_), jnp.float32)]        # gather acc
+           # staged prefix sums, c2v, and per-slot (ph, code) planes
+           # (factored route only; the dense flagship keeps its SSA
+           # lists — see body_fac)
+           pltpu.VMEM((5, Dc_, block, C_) if fac else (1, 1, 1, 1),
+                      jnp.float32),
+           pltpu.VMEM((block, C_), jnp.float32),        # gather acc
+           # scatter accumulator (fac): groups store straight to VMEM
+           pltpu.VMEM((block, llr.shape[1]) if fac else (1, 1),
+                      jnp.float32)]
     x, iters = _launch_bp(kern, llr, a_tab, h_tab, block=block,
                           scratches=scr, interpret=interpret, caps=caps)
     return x[..., :V0], iters
