@@ -456,3 +456,24 @@ def test_pallas_admm_presort_bit_identical(code):
                            perm="pallas")._presort_active()
     assert ADMMDecoder(code.graph, max_iter=0, iter_cap=2000,
                        perm="pallas")._presort_active()
+
+
+def test_pallas_admm_presort_auto_gate_bit_identical(code):
+    """The 'auto' mini-probe gate (lax.cond between sorted and plain
+    paths) is throughput-only: outputs identical to presort='off'."""
+    from ldpc_decoders_tpu.decoders.admm import ADMMDecoder
+
+    B = 64
+    key = jax.random.PRNGKey(23)
+    xw = jnp.zeros((B, code.get_n()), jnp.int32)
+    llr = biawgn.llr(biawgn.send(key, xw, 2.0), 2.0)
+
+    auto = ADMMDecoder(code.graph, mu=3.0, eps=1e-5, max_iter=0,
+                       iter_cap=1200, perm="pallas")
+    assert auto._presort_active()
+    off = ADMMDecoder(code.graph, mu=3.0, eps=1e-5, max_iter=0,
+                      iter_cap=1200, perm="pallas", presort="off")
+    xa, ia = auto.decode(llr)
+    xo, io_ = off.decode(llr)
+    np.testing.assert_array_equal(np.asarray(xa), np.asarray(xo))
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(io_))
