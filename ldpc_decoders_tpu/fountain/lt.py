@@ -25,6 +25,25 @@ TPU re-design, two inversions of the reference:
    fixed-width gather layout used for LDPC graphs would waste 100x
    memory here — sorted-segment reductions are the right TPU shape for
    this graph family.
+
+Two interchangeable peel engines (bit-identical results, tested):
+
+- ``engine="sparse"``: the [B, E] sorted-edge formulation above. The
+  right shape for CPUs (native indexed loads) — and what the committed
+  golden artifacts were generated with.
+- ``engine="dense"`` (the TPU default): stores each sim's generator as
+  a dense 0/1 int8 matrix G [n, k] and reformulates every per-symbol /
+  per-variable reduction as a batched MXU matmul — NO dynamic gathers
+  anywhere. Per peel round: one [B, 2, n] x [B, n, k] contraction
+  (carrier count + carried bit per variable) and one
+  [B, n, k] x [B, k, 2] contraction (xor contribution + incremental
+  degree update per symbol); int8 x int8 -> int32 keeps every count
+  exact. A golden-scale sim is only ~700 peel rounds, so the dense
+  engine trades ~240 MB/sim of HBM matmul traffic per round for the
+  lane-axis dynamic gathers that made the sparse formulation ~200x
+  slower than its own roofline on TPU (docs/SCALING.md "Why
+  golden-scale LT peeling ran on the host"). G ships from the host
+  bit-packed (k/8 bytes per symbol) and unpacks on device.
 """
 
 from __future__ import annotations
@@ -149,6 +168,17 @@ class _State(NamedTuple):
     it: jnp.ndarray        # scalar int32
 
 
+class _DenseState(NamedTuple):
+    resolved: jnp.ndarray  # [B, k] bool
+    deg: jnp.ndarray       # [B, n] int32: per-symbol unresolved degree
+    est: jnp.ndarray       # [B, k] int32 recovered bits
+    rcv: jnp.ndarray       # [B, n] int32 current symbol values
+    m: jnp.ndarray         # [B] int32 active prefix length
+    done: jnp.ndarray      # [B] bool
+    result: jnp.ndarray    # [B] int32 symbols needed (n on failure)
+    it: jnp.ndarray        # scalar int32
+
+
 def _take_pad(arr: jnp.ndarray, idx: jnp.ndarray, fill) -> jnp.ndarray:
     """Batched gather where index == arr.shape[-1] selects `fill`."""
     pad = jnp.full(arr.shape[:-1] + (1,), fill, arr.dtype)
@@ -171,16 +201,31 @@ class LTSimulator:
     delta: float
     e_pad: Optional[int] = None
     # 64 iterations per device call is the conservatively-validated TPU
-    # configuration at k=10000 (larger per-call workloads intermittently
-    # crash the current TPU backend; CPU is unaffected at any size).
+    # configuration at k=10000 for the sparse engine (larger per-call
+    # workloads intermittently crash the current TPU backend; CPU is
+    # unaffected at any size). The dense engine's rounds are ~1000x
+    # cheaper, so it scales the per-call budget up by 4x.
     seg_iters: int = 64
+    # "sparse" ([B, E] sorted-edge cumsum/gather peel — the CPU shape),
+    # "dense" (per-sim 0/1 int8 G, peel rounds = batched MXU matmuls —
+    # the TPU shape), or "auto" (dense on an accelerator backend,
+    # sparse on cpu). Both produce bit-identical (result, est, resolved)
+    # — pinned by tests/test_lt.py::test_dense_engine_matches_sparse.
+    engine: str = "auto"
 
     def __post_init__(self):
         self.omega = robust_soliton(self.k, self.c, self.delta)
         if self.e_pad is None:
             self.e_pad = default_e_pad(self.omega, self.n)
+        if self.engine == "auto":
+            self.engine = ("sparse" if jax.default_backend() == "cpu"
+                           else "dense")
+        if self.engine not in ("sparse", "dense"):
+            raise ValueError(f"unknown LT engine {self.engine!r}")
         self._init = jax.jit(self._init_state)
         self._seg = jax.jit(self._segment)
+        self._init_d = jax.jit(self._init_dense)
+        self._seg_d = jax.jit(self._segment_dense)
 
     # -- host sampling --------------------------------------------------
     def sample_batch(self, rng: np.random.Generator, batch: int):
@@ -190,6 +235,16 @@ class LTSimulator:
                    for key in tables[0]}
         batched["msg"] = jnp.asarray(
             rng.integers(0, 2, size=(batch, self.k)).astype(np.int32))
+        if self.engine == "dense":
+            # Ship G bit-packed (k/8 bytes per symbol, ~15 MB/sim at
+            # golden scale) and unpack on device: host->device transfer
+            # stays off the critical path even over the remote tunnel.
+            dense = np.zeros((batch, self.n, self.k), bool)
+            for b, t in enumerate(tables):
+                valid = t["edge_sym"] < self.n
+                dense[b, t["edge_sym"][valid], t["edge_var"][valid]] = True
+            batched["packed"] = jnp.asarray(
+                np.packbits(dense, axis=-1, bitorder="little"))
         return batched
 
     # -- segmented reductions (sorted edges: cumsum + indptr gathers) ----
@@ -314,10 +369,119 @@ class LTSimulator:
         final = lax.while_loop(cond, body, s0)
         return final._replace(it=jnp.zeros((), jnp.int32))
 
+    # -- dense engine: peel rounds as batched MXU matmuls -----------------
+    def _unpack_g(self, packed: jnp.ndarray) -> jnp.ndarray:
+        """[B, n, ceil(k/8)] uint8 (little bit order) -> [B, n, k] int8."""
+        bits = (packed[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+        bits = bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+        return bits[..., :self.k].astype(jnp.int8)
+
+    def _init_dense(self, tables):
+        k, n = self.k, self.n
+        msg = tables["msg"]
+        B = msg.shape[0]
+        g = self._unpack_g(tables["packed"])                  # [B, n, k]
+        # int8 x int8 -> int32 on the MXU: exact counts (degrees <= k,
+        # carrier counts <= var degree — far inside int32).
+        snt = lax.dot_general(
+            g, msg.astype(jnp.int8)[..., None],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)[..., 0] % 2      # [B, n]
+        return g, _DenseState(
+            resolved=jnp.zeros((B, k), bool),
+            deg=g.astype(jnp.int32).sum(-1),                   # [B, n]
+            est=jnp.zeros((B, k), jnp.int32),
+            rcv=snt,
+            m=jnp.full((B,), k, jnp.int32),
+            done=jnp.zeros((B,), bool),
+            result=jnp.full((B,), n, jnp.int32),
+            it=jnp.zeros((), jnp.int32),
+        )
+
+    def _segment_dense(self, g: jnp.ndarray, s0: _DenseState) -> _DenseState:
+        """Same peel/jump semantics as :meth:`_segment`, with every
+        per-symbol / per-variable reduction a batched int8 matmul over
+        the dense generator ``g`` [B, n, k] — gather-free, so each round
+        costs two MXU passes over g instead of the sparse engine's
+        lane-axis dynamic gathers (the TPU-hostile op; docs/SCALING.md).
+        Bit-identical to the sparse engine by construction: ``deg`` is
+        maintained incrementally (deg' = deg − G @ newly), and carrier
+        count/carried bit per variable come from one stacked
+        [ripple, ripple·rcv] contraction exactly like the sparse
+        engine's packed low/high reduction."""
+        n = self.n
+        sym_idx = jnp.arange(n, dtype=jnp.int32)
+
+        def body(s: _DenseState):
+            prefix = sym_idx < s.m[:, None]                    # [B, n]
+            # Success: a fixpoint with no unresolved edge in the prefix.
+            success = ~((s.deg > 0) & prefix).any(-1)
+            ripple = (s.deg == 1) & prefix
+            has_ripple = ripple.any(-1)
+
+            # Variable side: carriers = ripple symbols; every carrier of
+            # a variable carries the same (true) residual bit, so one
+            # stacked contraction yields (carrier count, carried bit sum).
+            r2 = jnp.stack([ripple, ripple & (s.rcv > 0)],
+                           1).astype(jnp.int8)                 # [B, 2, n]
+            kv = lax.dot_general(r2, g, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.int32)
+            unres = ~s.resolved
+            cnt = jnp.where(unres, kv[:, 0], 0)                # [B, k]
+            newly = cnt > 0
+            est = jnp.where(newly, (kv[:, 1] > 0).astype(jnp.int32), s.est)
+            resolved = s.resolved | newly
+
+            # Symbol side: xor each newly-resolved bit into every symbol
+            # containing it, and retire those edges from the degrees —
+            # one stacked [newly, newly & est] contraction.
+            n2 = jnp.stack([newly, newly & (est > 0)],
+                           -1).astype(jnp.int8)                # [B, k, 2]
+            sv = lax.dot_general(g, n2, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.int32)
+            deg = s.deg - sv[..., 0]
+            rcv = (s.rcv + sv[..., 1]) % 2
+
+            # Stuck fixpoint: jump the prefix to the first future symbol
+            # of current degree 1 (same argument as the sparse engine);
+            # none => failure with result = n.
+            grow = ~s.done & ~success & ~has_ripple
+            nxt = jnp.min(jnp.where((s.deg == 1) & ~prefix, sym_idx, n),
+                          axis=-1)                              # [B]
+            m = jnp.where(grow & (nxt < n), nxt + 1, s.m)
+            fail = grow & (nxt >= n)
+
+            act = ~s.done
+            act2 = act[:, None]
+            return _DenseState(
+                resolved=jnp.where(act2, resolved, s.resolved),
+                deg=jnp.where(act2, deg, s.deg),
+                est=jnp.where(act2, est, s.est),
+                rcv=jnp.where(act2, rcv, s.rcv),
+                m=jnp.where(act, m, s.m),
+                done=s.done | (act & (success | fail)),
+                result=jnp.where(act & success, s.m, s.result),
+                it=s.it + 1,
+            )
+
+        def cond(s: _DenseState):
+            return (s.it < 4 * self.seg_iters) & ~s.done.all()
+
+        final = lax.while_loop(cond, body, s0)
+        return final._replace(it=jnp.zeros((), jnp.int32))
+
     # -- public API -------------------------------------------------------
     def simulate(self, tables) -> tuple:
         """Run sampled tables to completion. Returns (result, est,
         resolved) device arrays."""
+        if self.engine == "dense":
+            g, state = self._init_d(tables)
+            max_segments = (self.k + self.n) // (4 * self.seg_iters) + 2
+            for _ in range(max_segments):
+                state = self._seg_d(g, state)
+                if bool(state.done.all()):
+                    break
+            return state.result, state.est, state.resolved
         state = self._init(tables)
         # Each iteration peels a round (resolves >= 1 variable) or jumps
         # the prefix (activates >= 1 symbol), so k + n + 2 iterations
@@ -356,6 +520,11 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=64,
                    help="sims per compiled device batch "
                         "(replaces the reference --pool)")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "sparse", "dense"],
+                   help="peel engine: dense = MXU matmul rounds (TPU "
+                        "default), sparse = sorted-edge gathers (CPU "
+                        "default)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_dir",
                    default=resolve_data_dir_os("decoders") + "/data")
@@ -369,7 +538,8 @@ def main(argv=None):
                                           ["luby"] + id_val)))
     log = logging.getLogger(".".join(id_val))
 
-    sim = LTSimulator(args.k, args.n, args.c, args.delta)
+    sim = LTSimulator(args.k, args.n, args.c, args.delta,
+                      engine=args.engine)
     # Resume semantics: ``count`` is the TOTAL target — an existing
     # artifact's sims are kept and extended. The PRNG stream is seeded by
     # (seed, #existing) so resumed runs draw disjoint sims without the

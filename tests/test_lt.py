@@ -78,6 +78,25 @@ def test_recovered_bits_are_correct():
     np.testing.assert_array_equal(est[resolved], msg[resolved])
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dense_engine_matches_sparse(seed):
+    """The dense MXU engine (per-sim 0/1 G, peel rounds as batched int8
+    matmuls) is bit-identical to the sparse sorted-edge engine on the
+    same sampled graphs — result, recovered bits AND resolved masks."""
+    k, n = 60, 120
+    dense = LTSimulator(k, n, c=0.1, delta=0.5, seg_iters=9,
+                        engine="dense")
+    sparse = LTSimulator(k, n, c=0.1, delta=0.5, seg_iters=17,
+                         engine="sparse")
+    rng = np.random.default_rng(seed)
+    tables = dense.sample_batch(rng, batch=24)  # includes packed G
+    res_d, est_d, rsl_d = map(np.asarray, dense.simulate(tables))
+    res_s, est_s, rsl_s = map(np.asarray, sparse.simulate(tables))
+    np.testing.assert_array_equal(res_d, res_s)
+    np.testing.assert_array_equal(rsl_d, rsl_s)
+    np.testing.assert_array_equal(est_d[rsl_d], est_s[rsl_s])
+
+
 def test_statistics_plausible():
     """Overhead statistics: mean symbols needed is a bit above k and far
     below n for a working robust-soliton code."""
