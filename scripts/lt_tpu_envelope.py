@@ -45,7 +45,12 @@ def main() -> None:
     for k, frac, batch, seg_iters, sims in CONFIGS:
         n = int(k * (1 + frac))
         rng = np.random.default_rng(0)
-        sim = LTSimulator(k, n, 0.01, 0.5, seg_iters=seg_iters)
+        # Pinned to the sparse engine: this artifact documents the
+        # sorted-edge formulation's envelope (docs/SCALING.md labels it
+        # so). The dense MXU engine's numbers live in
+        # lt_dense_probe_r5.jsonl (scripts/lt_dense_probe.py).
+        sim = LTSimulator(k, n, 0.01, 0.5, seg_iters=seg_iters,
+                          engine="sparse")
         entry = {"k": k, "n": n, "batch": batch, "seg_iters": seg_iters,
                  "sims": sims}
         try:
