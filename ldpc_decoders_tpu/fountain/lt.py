@@ -239,12 +239,19 @@ class LTSimulator:
             # Ship G bit-packed (k/8 bytes per symbol, ~15 MB/sim at
             # golden scale) and unpack on device: host->device transfer
             # stays off the critical path even over the remote tunnel.
-            dense = np.zeros((batch, self.n, self.k), bool)
+            # Bits are set directly in the packed buffer (little bit
+            # order, matching _unpack_g) — materializing a dense bool
+            # [B, n, k] and packbits-ing it cost more host time than the
+            # device decode at golden scale (1.9 GB of zeros per batch).
+            kb = (self.k + 7) // 8
+            packed = np.zeros((batch, self.n, kb), np.uint8)
+            lut = (np.uint8(1) << np.arange(8, dtype=np.uint8))
             for b, t in enumerate(tables):
                 valid = t["edge_sym"] < self.n
-                dense[b, t["edge_sym"][valid], t["edge_var"][valid]] = True
-            batched["packed"] = jnp.asarray(
-                np.packbits(dense, axis=-1, bitorder="little"))
+                sym = t["edge_sym"][valid]
+                var = t["edge_var"][valid]
+                np.bitwise_or.at(packed[b], (sym, var >> 3), lut[var & 7])
+            batched["packed"] = jnp.asarray(packed)
         return batched
 
     # -- segmented reductions (sorted edges: cumsum + indptr gathers) ----

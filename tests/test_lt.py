@@ -78,12 +78,16 @@ def test_recovered_bits_are_correct():
     np.testing.assert_array_equal(est[resolved], msg[resolved])
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_dense_engine_matches_sparse(seed):
+@pytest.mark.parametrize("seed,k,n", [
+    (0, 60, 120), (1, 60, 120),
+    # n barely above k: most sims FAIL (result = n), exercising the
+    # stuck-jump and failure paths of both engines.
+    (2, 40, 46),
+])
+def test_dense_engine_matches_sparse(seed, k, n):
     """The dense MXU engine (per-sim 0/1 G, peel rounds as batched int8
     matmuls) is bit-identical to the sparse sorted-edge engine on the
     same sampled graphs — result, recovered bits AND resolved masks."""
-    k, n = 60, 120
     dense = LTSimulator(k, n, c=0.1, delta=0.5, seg_iters=9,
                         engine="dense")
     sparse = LTSimulator(k, n, c=0.1, delta=0.5, seg_iters=17,
@@ -95,6 +99,8 @@ def test_dense_engine_matches_sparse(seed):
     np.testing.assert_array_equal(res_d, res_s)
     np.testing.assert_array_equal(rsl_d, rsl_s)
     np.testing.assert_array_equal(est_d[rsl_d], est_s[rsl_s])
+    if n == 46:
+        assert (res_d == n).any()  # the tight config really does fail
 
 
 def test_statistics_plausible():
