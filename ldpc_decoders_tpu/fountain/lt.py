@@ -41,9 +41,11 @@ Two interchangeable peel engines (bit-identical results, tested):
   exact. A golden-scale sim is only ~700 peel rounds, so the dense
   engine trades ~240 MB/sim of HBM matmul traffic per round for the
   lane-axis dynamic gathers that made the sparse formulation ~200x
-  slower than its own roofline on TPU (docs/SCALING.md "Why
-  golden-scale LT peeling ran on the host"). G ships from the host
-  bit-packed (k/8 bytes per symbol) and unpacks on device.
+  slower than its own roofline on TPU (docs/SCALING.md "Why the dense
+  engine wins"). Only the raw edge lists ship from the host (~1 MB/sim);
+  G's bit-planes build on device (one scatter-add, effectively free).
+  Stuck-prefix jumps fuse into the same round's resolution, so every
+  round resolves at least one variable or terminates.
 """
 
 from __future__ import annotations
@@ -101,7 +103,7 @@ def robust_soliton(k: int, c: float, delta: float) -> np.ndarray:
 # ----------------------------------------------------------------------
 
 def sample_edges(rng: np.random.Generator, omega: np.ndarray, k: int, n: int,
-                 e_pad: int):
+                 e_pad: int, light: bool = False):
     """One sim's edge tables, in the segment-friendly sorted form.
 
     Column j gets weight w_j ~ omega and a uniformly random w_j-subset of
@@ -135,6 +137,11 @@ def sample_edges(rng: np.random.Generator, omega: np.ndarray, k: int, n: int,
     edge_var = np.full(e_pad, k, dtype=np.int32)
     edge_sym[:total] = sym
     edge_var[:total] = var
+    if light:
+        # Dense-engine callers need only the raw edge lists (the RNG
+        # draws above are identical either way — the sorted-layout
+        # post-processing below is deterministic).
+        return dict(edge_sym=edge_sym, edge_var=edge_var)
 
     indptr_sym = np.zeros(n + 2, dtype=np.int32)
     np.cumsum(np.bincount(edge_sym, minlength=n + 1), out=indptr_sym[1:])
@@ -229,29 +236,20 @@ class LTSimulator:
 
     # -- host sampling --------------------------------------------------
     def sample_batch(self, rng: np.random.Generator, batch: int):
-        tables = [sample_edges(rng, self.omega, self.k, self.n, self.e_pad)
+        # The dense engine ships ONLY the raw edge lists (~1 MB/sim at
+        # golden scale) and builds the bit-planes of G on device: both
+        # a host-packed G (15 MB/sim) and the sparse layout tables
+        # (~1.7 MB/sim of perm/indptr) measured as real transfer cost
+        # over the remote-tunnel backend (~3 s per batch of 16, the
+        # largest single end-to-end component after the decode itself).
+        light = self.engine == "dense"
+        tables = [sample_edges(rng, self.omega, self.k, self.n,
+                               self.e_pad, light=light)
                   for _ in range(batch)]
         batched = {key: jnp.asarray(np.stack([t[key] for t in tables]))
                    for key in tables[0]}
         batched["msg"] = jnp.asarray(
             rng.integers(0, 2, size=(batch, self.k)).astype(np.int32))
-        if self.engine == "dense":
-            # Ship G bit-packed (k/8 bytes per symbol, ~15 MB/sim at
-            # golden scale) and unpack on device: host->device transfer
-            # stays off the critical path even over the remote tunnel.
-            # Bits are set directly in the packed buffer (little bit
-            # order, matching _unpack_g) — materializing a dense bool
-            # [B, n, k] and packbits-ing it cost more host time than the
-            # device decode at golden scale (1.9 GB of zeros per batch).
-            kb = (self.k + 7) // 8
-            packed = np.zeros((batch, self.n, kb), np.uint8)
-            lut = (np.uint8(1) << np.arange(8, dtype=np.uint8))
-            for b, t in enumerate(tables):
-                valid = t["edge_sym"] < self.n
-                sym = t["edge_sym"][valid]
-                var = t["edge_var"][valid]
-                np.bitwise_or.at(packed[b], (sym, var >> 3), lut[var & 7])
-            batched["packed"] = jnp.asarray(packed)
         return batched
 
     # -- segmented reductions (sorted edges: cumsum + indptr gathers) ----
@@ -377,17 +375,29 @@ class LTSimulator:
         return final._replace(it=jnp.zeros((), jnp.int32))
 
     # -- dense engine: peel rounds as batched MXU matmuls -----------------
-    def _unpack_g(self, packed: jnp.ndarray) -> jnp.ndarray:
-        """[B, n, ceil(k/8)] uint8 (little bit order) -> [B, n, k] int8."""
-        bits = (packed[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
-        bits = bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
-        return bits[..., :self.k].astype(jnp.int8)
+    def _build_g(self, tables) -> jnp.ndarray:
+        """Edge lists -> dense 0/1 int8 G [B, n, k], built on device:
+        one scatter-add into bit-packed planes (pads target the sliced-
+        off guard row/byte; supports are distinct so add == or) + a
+        bit unpack. Measured effectively free (~ms per batch) next to
+        shipping a host-packed G over the remote tunnel."""
+        k, n = self.k, self.n
+        kb = (k + 7) // 8
+        sym, var = tables["edge_sym"], tables["edge_var"]
+        B = sym.shape[0]
+        bidx = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], sym.shape)
+        packed = jnp.zeros((B, n + 1, kb + 1), jnp.int32)
+        packed = packed.at[bidx, sym, var >> 3].add(
+            jnp.int32(1) << (var & 7), mode="drop")
+        bits = (packed[:, :n, :kb, None] >> jnp.arange(8)) & 1
+        return bits.reshape(B, n, kb * 8)[..., :k].astype(jnp.int8)
 
     def _init_dense(self, tables):
         k, n = self.k, self.n
         msg = tables["msg"]
         B = msg.shape[0]
-        g = self._unpack_g(tables["packed"])                  # [B, n, k]
+        g = self._build_g(tables)                             # [B, n, k]
         # int8 x int8 -> int32 on the MXU: exact counts (degrees <= k,
         # carrier counts <= var degree — far inside int32).
         snt = lax.dot_general(
@@ -426,6 +436,24 @@ class LTSimulator:
             ripple = (s.deg == 1) & prefix
             has_ripple = ripple.any(-1)
 
+            # Stuck fixpoint: extend the prefix to the first future
+            # symbol of current degree 1 (same argument as the sparse
+            # engine); none => failure with result = n. The jump FUSES
+            # into this round's resolution (the new symbol IS the
+            # ripple) — a separate jump round would burn a full 2-matmul
+            # round resolving nothing, and overhead-heavy sims take
+            # ~1000 consecutive jumps. Same confluent fixpoint, so
+            # result/est/resolved are bit-identical to the sparse
+            # engine's two-phase jumps (pinned by the equality test).
+            grow = ~s.done & ~success & ~has_ripple
+            nxt = jnp.min(jnp.where((s.deg == 1) & ~prefix, sym_idx, n),
+                          axis=-1)                              # [B]
+            can_jump = grow & (nxt < n)
+            m = jnp.where(can_jump, nxt + 1, s.m)
+            fail = grow & (nxt >= n)
+            ripple = ripple | (can_jump[:, None]
+                               & (sym_idx == nxt[:, None]))
+
             # Variable side: carriers = ripple symbols; every carrier of
             # a variable carries the same (true) residual bit, so one
             # stacked contraction yields (carrier count, carried bit sum).
@@ -448,15 +476,6 @@ class LTSimulator:
                                  preferred_element_type=jnp.int32)
             deg = s.deg - sv[..., 0]
             rcv = (s.rcv + sv[..., 1]) % 2
-
-            # Stuck fixpoint: jump the prefix to the first future symbol
-            # of current degree 1 (same argument as the sparse engine);
-            # none => failure with result = n.
-            grow = ~s.done & ~success & ~has_ripple
-            nxt = jnp.min(jnp.where((s.deg == 1) & ~prefix, sym_idx, n),
-                          axis=-1)                              # [B]
-            m = jnp.where(grow & (nxt < n), nxt + 1, s.m)
-            fail = grow & (nxt >= n)
 
             act = ~s.done
             act2 = act[:, None]

@@ -93,7 +93,9 @@ def test_dense_engine_matches_sparse(seed, k, n):
     sparse = LTSimulator(k, n, c=0.1, delta=0.5, seg_iters=17,
                          engine="sparse")
     rng = np.random.default_rng(seed)
-    tables = dense.sample_batch(rng, batch=24)  # includes packed G
+    # Sparse tables are a superset of what the dense engine reads
+    # (edge_sym / edge_var / msg) — one draw feeds both engines.
+    tables = sparse.sample_batch(rng, batch=24)
     res_d, est_d, rsl_d = map(np.asarray, dense.simulate(tables))
     res_s, est_s, rsl_s = map(np.asarray, sparse.simulate(tables))
     np.testing.assert_array_equal(res_d, res_s)
@@ -101,6 +103,12 @@ def test_dense_engine_matches_sparse(seed, k, n):
     np.testing.assert_array_equal(est_d[rsl_d], est_s[rsl_s])
     if n == 46:
         assert (res_d == n).any()  # the tight config really does fail
+    # The dense engine's own (light) sampling path end-to-end: same
+    # RNG draws as the sparse sampler, so results match a sparse run
+    # over a fresh identically-seeded stream.
+    res_l, _, _ = dense.run(np.random.default_rng(seed), 8)
+    res_f, _, _ = sparse.run(np.random.default_rng(seed), 8)
+    np.testing.assert_array_equal(res_l, res_f)
 
 
 def test_statistics_plausible():
