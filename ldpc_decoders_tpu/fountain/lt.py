@@ -497,6 +497,20 @@ class LTSimulator:
         return final._replace(it=jnp.zeros((), jnp.int32))
 
     # -- public API -------------------------------------------------------
+    def shard_tables(self, tables, mesh):
+        """Lay a sampled batch out over a ``batch``-axis mesh. Every
+        per-sim quantity is independent (the reference's Pool fan-out,
+        luby.py:175, as a mesh axis): all arrays shard on dim 0, so the
+        jitted init/segment programs SPMD-partition with zero
+        cross-device communication — sims run where their tables live.
+        Exact equality with the unsharded run is pinned by
+        tests/test_lt.py::test_dense_engine_sharded_matches_single."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = NamedSharding(mesh, P("batch"))
+        return {k: jax.device_put(v, spec) for k, v in tables.items()}
+
     def simulate(self, tables) -> tuple:
         """Run sampled tables to completion. Returns (result, est,
         resolved) device arrays."""
@@ -551,6 +565,10 @@ def main(argv=None):
                    help="peel engine: dense = MXU matmul rounds (TPU "
                         "default), sparse = sorted-edge gathers (CPU "
                         "default)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard each batch of sims over N devices "
+                        "(batch-axis mesh; sims are independent, so "
+                        "the program partitions with no collectives)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_dir",
                    default=resolve_data_dir_os("decoders") + "/data")
@@ -586,12 +604,18 @@ def main(argv=None):
     fut = ex.submit(sim.sample_batch, rng,
                     min(args.batch, args.count - len(arr)))
     pending = len(arr)
+    mesh = None
+    if args.mesh:
+        from ldpc_decoders_tpu.parallel import batch_mesh
+        mesh = batch_mesh(args.mesh)
     while len(arr) < args.count:
         tables = fut.result()
         pending += tables["msg"].shape[0]
         nxt = min(args.batch, args.count - pending)
         if nxt > 0:
             fut = ex.submit(sim.sample_batch, rng, nxt)
+        if mesh is not None and tables["msg"].shape[0] % args.mesh == 0:
+            tables = sim.shard_tables(tables, mesh)
         res, _, _ = sim.simulate(tables)
         arr.extend(int(r) for r in np.asarray(res))
         log.info("sims=%d mean=%.1f std=%.1f", len(arr),

@@ -111,6 +111,25 @@ def test_dense_engine_matches_sparse(seed, k, n):
     np.testing.assert_array_equal(res_l, res_f)
 
 
+def test_dense_engine_sharded_matches_single():
+    """The dense engine SPMD-partitions over a batch-axis mesh (the
+    reference's Pool fan-out, luby.py:175, as a mesh axis): laying the
+    sampled tables out with shard_tables and running the same jitted
+    program must reproduce the single-device results exactly."""
+    from ldpc_decoders_tpu.parallel import batch_mesh
+
+    k, n = 50, 100
+    sim = LTSimulator(k, n, c=0.1, delta=0.5, seg_iters=7, engine="dense")
+    rng = np.random.default_rng(5)
+    tables = sim.sample_batch(rng, batch=16)
+    res1, est1, rsl1 = map(np.asarray, sim.simulate(tables))
+    sharded = sim.shard_tables(tables, batch_mesh(8))
+    res8, est8, rsl8 = map(np.asarray, sim.simulate(sharded))
+    np.testing.assert_array_equal(res1, res8)
+    np.testing.assert_array_equal(rsl1, rsl8)
+    np.testing.assert_array_equal(est1, est8)
+
+
 def test_statistics_plausible():
     """Overhead statistics: mean symbols needed is a bit above k and far
     below n for a working robust-soliton code."""
