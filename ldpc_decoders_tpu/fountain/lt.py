@@ -540,6 +540,40 @@ class LTSimulator:
         return np.asarray(res), np.asarray(est), np.asarray(resolved)
 
 
+def stream_batches(sim: LTSimulator, rng: np.random.Generator,
+                   count: int, batch: int, mesh=None):
+    """Decode ``count`` sims in device batches, yielding each batch's
+    num-symbols results (np array). Host graph sampling (~0.2 s/sim at
+    golden scale) overlaps the device peel of the previous batch: one
+    sampler thread stays exactly a batch ahead (rng is only ever touched
+    from that thread and submissions are sequential, so the stream is
+    deterministic). The TPU re-expression of the reference's
+    multiprocessing.Pool fan-out (luby.py:175); with ``mesh``, whole
+    batches additionally shard over the mesh's ``batch`` axis
+    (shard_tables). Shared by the CLI and the measurement scripts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_mesh = mesh.shape["batch"] if mesh is not None else 1
+    ex = ThreadPoolExecutor(1)
+    fut = ex.submit(sim.sample_batch, rng, min(batch, count))
+    submitted = done = 0
+    try:
+        while done < count:
+            tables = fut.result()
+            b = int(tables["msg"].shape[0])
+            submitted += b
+            nxt = min(batch, count - submitted)
+            if nxt > 0:
+                fut = ex.submit(sim.sample_batch, rng, nxt)
+            if mesh is not None and b % n_mesh == 0:
+                tables = sim.shard_tables(tables, mesh)
+            res, _, _ = sim.simulate(tables)
+            done += b
+            yield np.asarray(res)
+    finally:
+        ex.shutdown(wait=False)
+
+
 # ----------------------------------------------------------------------
 # CLI (reference luby.py:142-180): python -m ldpc_decoders_tpu.fountain.lt
 # ----------------------------------------------------------------------
@@ -595,33 +629,16 @@ def main(argv=None):
     if arr:
         log.info("resuming from %d committed sims", len(arr))
     rng = np.random.default_rng([args.seed, len(arr)])
-    # Host graph sampling (~0.2 s/sim at k=10000) overlaps the device
-    # peeling of the previous batch: one sampler thread stays exactly a
-    # batch ahead (rng is only ever touched from that thread, and
-    # submissions are sequential, so the stream is deterministic).
-    from concurrent.futures import ThreadPoolExecutor
-    ex = ThreadPoolExecutor(1)
-    fut = ex.submit(sim.sample_batch, rng,
-                    min(args.batch, args.count - len(arr)))
-    pending = len(arr)
     mesh = None
     if args.mesh:
         from ldpc_decoders_tpu.parallel import batch_mesh
         mesh = batch_mesh(args.mesh)
-    while len(arr) < args.count:
-        tables = fut.result()
-        pending += tables["msg"].shape[0]
-        nxt = min(args.batch, args.count - pending)
-        if nxt > 0:
-            fut = ex.submit(sim.sample_batch, rng, nxt)
-        if mesh is not None and tables["msg"].shape[0] % args.mesh == 0:
-            tables = sim.shard_tables(tables, mesh)
-        res, _, _ = sim.simulate(tables)
-        arr.extend(int(r) for r in np.asarray(res))
+    for res in stream_batches(sim, rng, args.count - len(arr),
+                              args.batch, mesh=mesh):
+        arr.extend(int(r) for r in res)
         log.info("sims=%d mean=%.1f std=%.1f", len(arr),
                  float(np.mean(arr)), float(np.std(arr)))
         saver.add_all({"arr": arr})
-    ex.shutdown(wait=False)
     log.info("Finished all!")
 
 

@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--depths", nargs="*", type=int, default=[4, 8, 12, 16])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.batch % 64:
+        ap.error("--batch must be a multiple of 64 (the fused kernel's "
+                 "early-exit block, which block_max_mean mirrors)")
 
     from bench import wait_for_backend
     wait_for_backend()
@@ -112,7 +115,10 @@ def main() -> None:
     lines.append(base)
     for d, r in zip(depths, res):
         m = block_max_mean(np.argsort(r, kind="stable")[::-1])
-        rho = float(np.corrcoef(np.argsort(np.argsort(-r)),
+        # Spearman: ranks of residual (ascending) vs ranks of iters
+        # (ascending) — positive means larger residual predicts more
+        # iterations.
+        rho = float(np.corrcoef(np.argsort(np.argsort(r)),
                                 np.argsort(np.argsort(iters)))[0, 1])
         line = {"probe": "admm_cap50_presort", "depth": d,
                 "sorted_block_max_mean": round(m, 2),

@@ -38,7 +38,11 @@ def main() -> None:
 
     lines = []
     for batch in args.batches:
-        sim = LTSimulator(args.k, args.n, 0.01, 0.5, seg_iters=args.seg)
+        # Pinned to the sparse engine: this probe documents the sorted-
+        # edge formulation's batch-scaling collapse (its ledger predates
+        # the dense engine, which "auto" now selects on TPU).
+        sim = LTSimulator(args.k, args.n, 0.01, 0.5, seg_iters=args.seg,
+                          engine="sparse")
         rng = np.random.default_rng(0)
         res, _, _ = sim.run(rng, batch)        # compile + warm
         t0 = time.time()

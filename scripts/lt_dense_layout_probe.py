@@ -10,6 +10,14 @@ Variants (all bit-identical in result — integer counts stay exact):
   C: int8, TWO layouts — G [B, n, k] and G^T [B, k, n], each pass
      contracting the trailing dim (no transposes possible).
 
+NOTE: seg_generic replays the PRE-fusion body (stuck-jumps as separate
+rounds — the engine as it stood when this probe ran); the production
+_segment_dense has since fused jumps into the resolve round, so its
+round counts are lower. The probe's conclusions are about STORAGE
+(int8 native: B measures exactly 2x A; no hidden transposes: C == A) —
+all three variants share the same round structure, so that comparison
+is unaffected.
+
 Run on the real chip:
     python scripts/lt_dense_layout_probe.py --out artifacts/data/lt_dense_probe_r5.jsonl
 """

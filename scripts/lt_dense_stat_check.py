@@ -19,7 +19,6 @@ import json
 import os
 import sys
 import time
-from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -40,26 +39,16 @@ def main() -> None:
 
     import numpy as np
 
-    from ldpc_decoders_tpu.fountain.lt import LTSimulator
+    from ldpc_decoders_tpu.fountain.lt import LTSimulator, stream_batches
 
     sim = LTSimulator(args.k, args.n, args.c, 0.5, engine="dense")
     rng = np.random.default_rng(args.seed)
-    ex = ThreadPoolExecutor(1)
-    fut = ex.submit(sim.sample_batch, rng, min(args.batch, args.sims))
     vals: list[int] = []
-    submitted = 0
     t0 = time.time()
-    while len(vals) < args.sims:
-        tables = fut.result()
-        submitted += int(tables["msg"].shape[0])
-        nxt = min(args.batch, args.sims - submitted)
-        if nxt > 0:
-            fut = ex.submit(sim.sample_batch, rng, nxt)
-        res, _, _ = sim.simulate(tables)
-        vals.extend(int(r) for r in np.asarray(res))
+    for res in stream_batches(sim, rng, args.sims, args.batch):
+        vals.extend(int(r) for r in res)
         print(f"# sims={len(vals)} mean={np.mean(vals):.1f} "
               f"std={np.std(vals):.1f}", flush=True)
-    ex.shutdown(wait=False)
     dt = time.time() - t0
     arr = np.asarray(vals, float)
     line = {"k": args.k, "c": args.c, "engine": "dense", "sims": len(vals),
