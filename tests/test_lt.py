@@ -130,6 +130,27 @@ def test_dense_engine_sharded_matches_single():
     np.testing.assert_array_equal(est1, est8)
 
 
+def test_stream_batches_counts_and_determinism():
+    """stream_batches delivers exactly `count` sims (last batch
+    truncated) and, with the same seed, the same results as a direct
+    sample/simulate loop — the sampler thread must not perturb the RNG
+    stream."""
+    from ldpc_decoders_tpu.fountain.lt import stream_batches
+
+    k, n = 40, 90
+    sim = LTSimulator(k, n, c=0.1, delta=0.5, engine="sparse")
+    got = [r for res in stream_batches(sim, np.random.default_rng(9),
+                                       count=20, batch=8)
+           for r in res]
+    assert len(got) == 20
+    rng = np.random.default_rng(9)
+    direct = []
+    for b in (8, 8, 4):
+        res, _, _ = sim.simulate(sim.sample_batch(rng, b))
+        direct.extend(int(r) for r in np.asarray(res))
+    np.testing.assert_array_equal(got, direct)
+
+
 def test_statistics_plausible():
     """Overhead statistics: mean symbols needed is a bit above k and far
     below n for a working robust-soliton code."""
